@@ -1,0 +1,77 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Session bootstrap for the engine.
+  *
+  * The reference engine (an Impala fork — see SURVEY.md §0) runs a fixed
+  * daemon topology (impalad / statestored / catalogd); on Spark those roles
+  * are played by the driver/executors and the catalog, so the "engine" here
+  * is a configured [[SparkSession]] plus the dialect surface registered on
+  * top of it (function aliases, custom expressions, rewrite rules).
+  *
+  * Config choices mirror the reference's semantics:
+  *  - `ansi=false`: Impala-style permissive casts/overflow
+  *    (reference: be/src/exprs/cast-functions.cc).
+  *  - CBO + constraint propagation: the reference derives predicates across
+  *    join equivalence classes (fe/.../analysis/Analyzer.java:256-268); in
+  *    Spark that's `InferFiltersFromConstraints`.
+  *  - AQE on: runtime re-planning replaces the reference's static
+  *    broadcast-vs-shuffle decision (fe/.../planner/DistributedPlanner.java:284-309)
+  *    with a strictly better runtime one.
+  */
+object EngineSession {
+
+  /** Spark confs that define the engine's semantics & scale posture.
+    * Applied both when we build the session ourselves and (where dynamic)
+    * when we adopt an externally-built session.
+    */
+  val staticConfs: Map[String, String] = Map(
+    "spark.sql.ansi.enabled" -> "false",
+    "spark.sql.session.timeZone" -> "UTC",
+    "spark.sql.adaptive.enabled" -> "true",
+    "spark.sql.adaptive.coalescePartitions.enabled" -> "true",
+    "spark.sql.adaptive.skewJoin.enabled" -> "true",
+    "spark.sql.cbo.enabled" -> "true",
+    "spark.sql.cbo.joinReorder.enabled" -> "true",
+    "spark.sql.constraintPropagation.enabled" -> "true",
+    // events.parquet carries TIMESTAMP(NANOS) which Spark cannot represent
+    // natively; read as epoch-nanos LongType and convert explicitly.
+    "spark.sql.legacy.parquet.nanosAsLong" -> "true",
+    // Our sink side writes timestamps readable by the widest set of readers.
+    "spark.sql.parquet.outputTimestampType" -> "TIMESTAMP_MICROS"
+  )
+
+  /** Build a local session sized for this container (local[N] threads). */
+  def build(
+      master: String = s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")}]",
+      shufflePartitions: Int = 32,
+      appName: String = "graft"): SparkSession = {
+    val b = SparkSession
+      .builder()
+      .master(master)
+      .appName(appName)
+      .config("spark.sql.shuffle.partitions", shufflePartitions.toString)
+      .config("spark.ui.enabled", "false")
+    staticConfs.foreach { case (k, v) => b.config(k, v) }
+    val spark = b.getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    Dialect.registerAll(spark)
+    spark
+  }
+
+  /** Adopt an externally-created session (e.g. the driver's): apply the
+    * dynamic confs and register the dialect functions, without restarting.
+    */
+  def adopt(spark: SparkSession): SparkSession = {
+    staticConfs.foreach { case (k, v) =>
+      try spark.conf.set(k, v)
+      catch { case _: org.apache.spark.sql.AnalysisException => () } // static conf on live session
+    }
+    Dialect.registerAll(spark)
+    spark
+  }
+
+  /** Run SQL in the engine's dialect (alias surface registered). */
+  def sql(spark: SparkSession, text: String): DataFrame = spark.sql(text)
+}

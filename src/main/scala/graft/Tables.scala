@@ -1,0 +1,37 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Catalog access for the driver-provided TPC-H-ish parquet tables
+  * (TESTDATA.md). Mirrors the reference's catalog model (database → table →
+  * files; fe/.../catalog/HdfsTable.java) at the granularity Spark needs:
+  * a named view per parquet directory.
+  *
+  * Scale note: these are plain parquet scans — on a real cluster the same
+  * code reads a partitioned table and Catalyst performs partition pruning
+  * and predicate pushdown; nothing here assumes single-node layout.
+  */
+object Tables {
+  val all: Seq[String] = Seq(
+    "region", "nation", "customer", "supplier", "part",
+    "orders", "lineitem", "events", "documents", "embeddings")
+
+  def load(spark: SparkSession, dir: String, name: String): DataFrame = {
+    val df = spark.read.parquet(s"$dir/$name.parquet")
+    if (name == "events") normalizeEvents(df) else df
+  }
+
+  /** events.ts is parquet TIMESTAMP(NANOS), surfaced as epoch-nano Long
+    * (spark.sql.legacy.parquet.nanosAsLong) — convert to a proper
+    * microsecond timestamp column, preserving the original name.
+    */
+  private def normalizeEvents(df: DataFrame): DataFrame =
+    if (df.schema("ts").dataType == org.apache.spark.sql.types.LongType)
+      df.withColumn("ts", timestamp_micros((col("ts") / 1000L).cast("long")))
+    else df
+
+  /** Register every table as a temp view in `spark`'s catalog. */
+  def registerAll(spark: SparkSession, dir: String): Unit =
+    all.foreach(n => load(spark, dir, n).createOrReplaceTempView(n))
+}

@@ -1,0 +1,63 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+
+/** Relational query catalog: each entry exercises one operator family from
+  * SURVEY.md §2 with the DataFrame API (Catalyst plans the physical side).
+  * Numeric aggregates are computed in DECIMAL then cast to DOUBLE so the
+  * result is bit-identical to the DuckDB oracle regardless of float
+  * summation order — distributed sums over doubles are otherwise
+  * non-deterministic across partitionings.
+  */
+object Relational {
+
+  /** Exact decimal sum of a double column, surfaced as double.
+    *
+    * Scale choice matters for oracle parity: the synthetic money columns are
+    * clean 2-decimal values, so products of two (three) of them carry exactly
+    * 4 (6) decimal digits. Casting such a double to a decimal of its exact
+    * scale never lands on a rounding midpoint, so Spark's shortest-repr
+    * rounding and DuckDB's exact-binary rounding agree bit-for-bit. Casting
+    * to a *narrower* scale (e.g. 2) hits .xx5 midpoints where they disagree.
+    */
+  private def dsum(c: Column, scale: Int = 2): Column =
+    sum(c.cast(s"decimal(28,$scale)")).cast("double")
+
+  /** TPC-H Q1: scan → filter → hash agg (partial+final) → sort.
+    * Reference operator: PartitionedAggregationNode
+    * (be/src/exec/partitioned-aggregation-node.cc:46-88).
+    */
+  def q1Agg(spark: SparkSession, dir: String): DataFrame = {
+    val li = Tables.load(spark, dir, "lineitem")
+    li.filter(col("l_shipdate") <= lit("1998-09-02").cast("timestamp_ntz"))
+      .groupBy(col("l_returnflag"), col("l_linestatus"))
+      .agg(
+        dsum(col("l_quantity")).as("sum_qty"),
+        dsum(col("l_extendedprice")).as("sum_base_price"),
+        dsum(col("l_extendedprice") * (lit(1.0) - col("l_discount")), 4).as("sum_disc_price"),
+        dsum(col("l_extendedprice") * (lit(1.0) - col("l_discount")) * (lit(1.0) + col("l_tax")), 6).as("sum_charge"),
+        (dsum(col("l_quantity")) / count(lit(1))).as("avg_qty"),
+        (dsum(col("l_extendedprice")) / count(lit(1))).as("avg_price"),
+        (dsum(col("l_discount")) / count(lit(1))).as("avg_disc"),
+        count(lit(1)).as("count_order"))
+      .orderBy(col("l_returnflag"), col("l_linestatus"))
+  }
+
+  val q1AggSql: String = """
+    SELECT l_returnflag, l_linestatus,
+      CAST(SUM(CAST(l_quantity AS DECIMAL(28,2))) AS DOUBLE) AS sum_qty,
+      CAST(SUM(CAST(l_extendedprice AS DECIMAL(28,2))) AS DOUBLE) AS sum_base_price,
+      CAST(SUM(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(28,4))) AS DOUBLE) AS sum_disc_price,
+      CAST(SUM(CAST(l_extendedprice * (1.0 - l_discount) * (1.0 + l_tax) AS DECIMAL(28,6))) AS DOUBLE) AS sum_charge,
+      CAST(SUM(CAST(l_quantity AS DECIMAL(28,2))) AS DOUBLE) / COUNT(*) AS avg_qty,
+      CAST(SUM(CAST(l_extendedprice AS DECIMAL(28,2))) AS DOUBLE) / COUNT(*) AS avg_price,
+      CAST(SUM(CAST(l_discount AS DECIMAL(28,2))) AS DOUBLE) / COUNT(*) AS avg_disc,
+      COUNT(*) AS count_order
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+    GROUP BY l_returnflag, l_linestatus
+    ORDER BY l_returnflag, l_linestatus"""
+}
