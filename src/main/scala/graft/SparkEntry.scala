@@ -1,9 +1,12 @@
 package graft
 import org.apache.spark.sql.{SparkSession, DataFrame}
 
-import graft.queries.Relational
+import graft.queries.{Relational, Joins, Aggregates, Windows, SetOps}
 
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
+  * One `queries` entry per implemented operator from SURVEY.md §2; every
+  * entry with an `oracleSql` twin is hash-checked against DuckDB at sf0.01.
+  */
 object SparkEntry {
   private def q(fn: (SparkSession, String) => DataFrame): (SparkSession, String) => DataFrame =
     (s, dir) => fn(EngineSession.adopt(s), dir)
@@ -12,14 +15,55 @@ object SparkEntry {
   def entry(spark: SparkSession): DataFrame =
     Relational.q1Agg(EngineSession.adopt(spark), "/root/testdata/sf0.001")
 
-  /** One entry per implemented operator from SURVEY.md §2. */
+  /** One per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "q1_agg" -> q(Relational.q1Agg)
+    // §2.4 aggregation
+    "q1_agg" -> q(Relational.q1Agg),
+    "q_agg_minmax_distinct" -> q(Aggregates.qAggMinmaxDistinct),
+    "q_agg_stats" -> q(Aggregates.qAggStats),
+    "q_agg_group_concat" -> q(Aggregates.qAggGroupConcat),
+    "q_agg_approx" -> q(Aggregates.qAggApprox),
+    // §2.3 joins
+    "q3_join" -> q(Joins.q3Join),
+    "q5_multijoin" -> q(Joins.q5MultiJoin),
+    "q_join_semi" -> q(Joins.qJoinSemi),
+    "q_join_anti" -> q(Joins.qJoinAnti),
+    "q_null_aware_anti" -> q(Joins.qNullAwareAnti),
+    "q_join_outer" -> q(Joins.qJoinOuter),
+    "q_join_right" -> q(Joins.qJoinRight),
+    "q_join_cross" -> q(Joins.qJoinCross),
+    // §2.5 window / analytic
+    "q_window_rank" -> q(Windows.qWindowRank),
+    "q_window_lag" -> q(Windows.qWindowLag),
+    "q_window_frames" -> q(Windows.qWindowFrames),
+    // §2.7 set ops + subqueries
+    "q_union" -> q(SetOps.qUnion),
+    "q_cte_exists" -> q(SetOps.qCteExists),
+    "q_values" -> q(SetOps.qValues)
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
+    * the same parquet tables. Omit for non-SQL-expressible ops (the driver
+    * records a weaker rows-only check for those). */
   def oracleSql: Map[String, String] = Map(
-    "q1_agg" -> Relational.q1AggSql
+    "q1_agg" -> Relational.q1AggSql,
+    "q_agg_minmax_distinct" -> Aggregates.qAggMinmaxDistinctSql,
+    "q_agg_stats" -> Aggregates.qAggStatsSql,
+    "q_agg_group_concat" -> Aggregates.qAggGroupConcatSql,
+    // q_agg_approx: sketch-based (HLL++/quantile) — rows-only check.
+    "q3_join" -> Joins.q3JoinSql,
+    "q5_multijoin" -> Joins.q5MultiJoinSql,
+    "q_join_semi" -> Joins.qJoinSemiSql,
+    "q_join_anti" -> Joins.qJoinAntiSql,
+    "q_null_aware_anti" -> Joins.qNullAwareAntiSql,
+    "q_join_outer" -> Joins.qJoinOuterSql,
+    "q_join_right" -> Joins.qJoinRightSql,
+    "q_join_cross" -> Joins.qJoinCrossSql,
+    "q_window_rank" -> Windows.qWindowRankSql,
+    "q_window_lag" -> Windows.qWindowLagSql,
+    "q_window_frames" -> Windows.qWindowFramesSql,
+    "q_union" -> SetOps.qUnionSql,
+    "q_cte_exists" -> SetOps.qCteExistsSql,
+    "q_values" -> SetOps.qValuesSql
   )
 }

@@ -25,13 +25,27 @@ object Tables {
   /** events.ts is parquet TIMESTAMP(NANOS), surfaced as epoch-nano Long
     * (spark.sql.legacy.parquet.nanosAsLong) — convert to a proper
     * microsecond timestamp column, preserving the original name.
+    *
+    * Exactness: `div` is integer long division (epoch-nanos ~1.7e18 exceed
+    * double's 2^53 exact range, so `/` would round ~12% of values off by
+    * 1µs). The result is cast to timestamp_ntz to match how DuckDB reads
+    * the same column (isAdjustedToUTC=false → naive timestamp); session TZ
+    * is UTC so the instant is unchanged.
     */
   private def normalizeEvents(df: DataFrame): DataFrame =
     if (df.schema("ts").dataType == org.apache.spark.sql.types.LongType)
-      df.withColumn("ts", timestamp_micros((col("ts") / 1000L).cast("long")))
+      df.withColumn("ts", timestamp_micros(expr("ts div 1000")).cast("timestamp_ntz"))
     else df
 
   /** Register every table as a temp view in `spark`'s catalog. */
   def registerAll(spark: SparkSession, dir: String): Unit =
     all.foreach(n => load(spark, dir, n).createOrReplaceTempView(n))
+
+  // Memoized per (session, dir) so SQL-surface queries can call this on
+  // every invocation without re-building 10 scan plans each time.
+  private val registered = new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), Boolean]()
+
+  /** Idempotent view registration; cheap after the first call. */
+  def ensureViews(spark: SparkSession, dir: String): Unit =
+    registered.computeIfAbsent((spark, dir), { _ => registerAll(spark, dir); true })
 }

@@ -1,0 +1,150 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+import Parity._
+
+/** Aggregate-function breadth — the reference's builtin aggregate surface
+  * (fe/.../catalog/BuiltinsDb.java:522-792, be/src/exprs/aggregate-functions.cc)
+  * mapped onto Spark's hash aggregation. Two-phase DISTINCT, min/max,
+  * group_concat, the variance family, and the approximate family
+  * (ndv/appx_median — sketch-based, so oracle-checked as rows-only).
+  *
+  * Determinism notes (the part that makes these hash-match a single-threaded
+  * DuckDB): double sums go through [[Parity.dsum]]; group_concat is made
+  * order-deterministic by sorting the collected array (the reference itself
+  * documents group_concat order as nondeterministic — we pin it); the
+  * variance family is rounded to 6 decimals because Spark's distributed
+  * moment merge and DuckDB's sequential one differ in the last ulps.
+  */
+object Aggregates {
+
+  /** min/max over all comparable types + two-phase DISTINCT aggregates
+    * (reference: AggregateInfo.createDistinctAggInfo,
+    * fe/.../analysis/AggregateInfo.java:131-156 — Catalyst's
+    * RewriteDistinctAggregates plans the same two-phase shape, and supports
+    * several distinct sets in one query, a strict superset). */
+  def qAggMinmaxDistinct(spark: SparkSession, dir: String): DataFrame = {
+    val li = Tables.load(spark, dir, "lineitem")
+    li.groupBy(col("l_returnflag"))
+      .agg(
+        min(col("l_quantity")).as("min_qty"),
+        max(col("l_quantity")).as("max_qty"),
+        min(col("l_shipdate")).as("min_ship"),
+        max(col("l_shipdate")).as("max_ship"),
+        min(col("l_linestatus")).as("min_status"),
+        countDistinct(col("l_partkey")).as("ndv_part"),
+        countDistinct(col("l_suppkey")).as("ndv_supp"),
+        countDistinct(col("l_orderkey"), col("l_linenumber")).as("ndv_line"),
+        dsum(col("l_discount")).as("sum_disc"))
+      .orderBy(col("l_returnflag"))
+  }
+
+  val qAggMinmaxDistinctSql: String = s"""
+    SELECT l_returnflag,
+           MIN(l_quantity) AS min_qty,
+           MAX(l_quantity) AS max_qty,
+           MIN(l_shipdate) AS min_ship,
+           MAX(l_shipdate) AS max_ship,
+           MIN(l_linestatus) AS min_status,
+           COUNT(DISTINCT l_partkey) AS ndv_part,
+           COUNT(DISTINCT l_suppkey) AS ndv_supp,
+           COUNT(DISTINCT (l_orderkey, l_linenumber)) AS ndv_line,
+           ${dsumSql("l_discount")} AS sum_disc
+    FROM lineitem
+    GROUP BY l_returnflag
+    ORDER BY l_returnflag"""
+
+  /** Variance family (reference: Knuth online variance,
+    * aggregate-functions.h:189-203, BuiltinsDb.java:636-700).
+    *
+    * Distributed double moments are order-dependent in the last ulps, so the
+    * oracle entry computes variance algebraically from EXACT decimal
+    * sums — sum(x) and sum(x²) are exact (2/4-decimal inputs), and the final
+    * double expression (sxx - sx²/n)/(n-1) plus IEEE-correctly-rounded sqrt
+    * is evaluated identically by both engines → bit-exact, any partitioning.
+    * (The builtin stddev/var functions are exercised in ScalaTest with
+    * tolerance instead.) */
+  def qAggStats(spark: SparkSession, dir: String): DataFrame = {
+    val o = Tables.load(spark, dir, "orders")
+    val x = col("o_totalprice")
+    // Square in DECIMAL, not double: x² of a 2-decimal ~5e5 value needs 16
+    // significant digits, past double exactness. decimal(18,2)² → exact
+    // 4-decimal product in both engines.
+    val xd = x.cast("decimal(18,2)")
+    val grouped = o.groupBy(col("o_orderstatus"))
+      .agg(
+        dsum(x).as("sx"),
+        sum(xd * xd).cast("double").as("sxx"),
+        count(lit(1)).as("n"))
+    val n = col("n").cast("double")
+    val vSamp = (col("sxx") - col("sx") * col("sx") / n) / (n - lit(1.0))
+    val vPop = (col("sxx") - col("sx") * col("sx") / n) / n
+    grouped.select(
+        col("o_orderstatus"),
+        sqrt(vSamp).as("sd_samp"),
+        sqrt(vPop).as("sd_pop"),
+        vSamp.as("v_samp"),
+        vPop.as("v_pop"),
+        (col("sx") / n).as("avg_price"),
+        col("n"))
+      .orderBy(col("o_orderstatus"))
+  }
+
+  val qAggStatsSql: String = s"""
+    WITH g AS (
+      SELECT o_orderstatus,
+             ${dsumSql("o_totalprice")} AS sx,
+             CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2)) * CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sxx,
+             COUNT(*) AS n
+      FROM orders GROUP BY o_orderstatus)
+    SELECT o_orderstatus,
+           SQRT((sxx - sx * sx / CAST(n AS DOUBLE)) / (CAST(n AS DOUBLE) - 1.0)) AS sd_samp,
+           SQRT((sxx - sx * sx / CAST(n AS DOUBLE)) / CAST(n AS DOUBLE)) AS sd_pop,
+           (sxx - sx * sx / CAST(n AS DOUBLE)) / (CAST(n AS DOUBLE) - 1.0) AS v_samp,
+           (sxx - sx * sx / CAST(n AS DOUBLE)) / CAST(n AS DOUBLE) AS v_pop,
+           sx / CAST(n AS DOUBLE) AS avg_price,
+           n
+    FROM g
+    ORDER BY o_orderstatus"""
+
+  /** group_concat (reference: aggregate-functions.h:111-117,
+    * BuiltinsDb.java:771-792). Collected per group then sorted — the only
+    * way a distributed concat can be deterministic; the shuffle carries the
+    * small per-group array, not the input rows. */
+  def qAggGroupConcat(spark: SparkSession, dir: String): DataFrame = {
+    val n = Tables.load(spark, dir, "nation")
+    n.groupBy(col("n_regionkey"))
+      .agg(
+        array_join(sort_array(collect_list(col("n_name"))), ", ").as("nations"),
+        count(lit(1)).as("n_nations"))
+      .orderBy(col("n_regionkey"))
+  }
+
+  val qAggGroupConcatSql: String = """
+    SELECT n_regionkey,
+           STRING_AGG(n_name, ', ' ORDER BY n_name) AS nations,
+           COUNT(*) AS n_nations
+    FROM nation
+    GROUP BY n_regionkey
+    ORDER BY n_regionkey"""
+
+  /** Approximate family: ndv / appx_count_distinct → HLL++
+    * (reference: HLL with 2^10 buckets, aggregate-functions.h:174-184;
+    * Spark's approx_count_distinct is HLL++ — same asymptotics, different
+    * sketch constants, so no oracle SQL: rows-only check, exact-count
+    * parity asserted in ScalaTest within HLL error bounds). appx_median →
+    * percentile_approx(0.5) (reference reservoir sampling,
+    * aggregate-functions.h:143-167). */
+  def qAggApprox(spark: SparkSession, dir: String): DataFrame = {
+    val li = Tables.load(spark, dir, "lineitem")
+    li.groupBy(col("l_returnflag"))
+      .agg(
+        approx_count_distinct(col("l_partkey")).as("ndv_part"),
+        approx_count_distinct(col("l_orderkey")).as("ndv_order"),
+        percentile_approx(col("l_extendedprice"), lit(0.5), lit(10000)).as("appx_median_price"))
+      .orderBy(col("l_returnflag"))
+  }
+}

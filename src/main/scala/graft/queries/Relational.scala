@@ -14,17 +14,7 @@ import graft.Tables
   */
 object Relational {
 
-  /** Exact decimal sum of a double column, surfaced as double.
-    *
-    * Scale choice matters for oracle parity: the synthetic money columns are
-    * clean 2-decimal values, so products of two (three) of them carry exactly
-    * 4 (6) decimal digits. Casting such a double to a decimal of its exact
-    * scale never lands on a rounding midpoint, so Spark's shortest-repr
-    * rounding and DuckDB's exact-binary rounding agree bit-for-bit. Casting
-    * to a *narrower* scale (e.g. 2) hits .xx5 midpoints where they disagree.
-    */
-  private def dsum(c: Column, scale: Int = 2): Column =
-    sum(c.cast(s"decimal(28,$scale)")).cast("double")
+  import Parity.dsum
 
   /** TPC-H Q1: scan → filter → hash agg (partial+final) → sort.
     * Reference operator: PartitionedAggregationNode

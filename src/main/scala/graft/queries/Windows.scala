@@ -1,0 +1,117 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+import Parity._
+
+/** Window / analytic functions — the reference's AnalyticEvalNode surface
+  * (be/src/exec/analytic-eval-node.cc; frame rules
+  * fe/.../analysis/AnalyticWindow.java:37-90; functions
+  * BuiltinsDb.java:796-867) on Spark's WindowExec.
+  *
+  * Determinism: every ORDER BY within a partition ends on a unique key
+  * (o_orderkey / (l_orderkey,l_linenumber)) — rank() ties are fine but
+  * row_number/lag/frames over non-unique orders would be partition-order
+  * dependent. Frame sums aggregate decimals (exact) and surface doubles.
+  *
+  * Scale: one shuffle per distinct partitioning; all four functions in a
+  * query share Window.partitionBy(o_custkey) so Catalyst plans a single
+  * sort+window over one exchange.
+  */
+object Windows {
+
+  /** rank / dense_rank / row_number (reference: BuiltinsDb.java:796-822). */
+  def qWindowRank(spark: SparkSession, dir: String): DataFrame = {
+    val o = Tables.load(spark, dir, "orders")
+    val w = Window.partitionBy(col("o_custkey"))
+      .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
+    o.select(
+        col("o_custkey"), col("o_orderkey"), col("o_totalprice"),
+        rank().over(w).as("rnk"),
+        dense_rank().over(w).as("drnk"),
+        row_number().over(w).as("rn"))
+      .filter(col("rn") <= 3)
+      .orderBy(col("o_custkey"), col("rn"))
+  }
+
+  val qWindowRankSql: String = """
+    SELECT * FROM (
+      SELECT o_custkey, o_orderkey, o_totalprice,
+             RANK()       OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey ASC) AS rnk,
+             DENSE_RANK() OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey ASC) AS drnk,
+             ROW_NUMBER() OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey ASC) AS rn
+      FROM orders)
+    WHERE rn <= 3
+    ORDER BY o_custkey, rn"""
+
+  /** lag/lead with explicit offset + default (reference: BuiltinsDb.java:824-847;
+    * offset/default semantics aggregate-functions.h:214-259). */
+  def qWindowLag(spark: SparkSession, dir: String): DataFrame = {
+    val o = Tables.load(spark, dir, "orders")
+    val w = Window.partitionBy(col("o_custkey")).orderBy(col("o_orderdate").asc, col("o_orderkey").asc)
+    o.select(
+        col("o_custkey"), col("o_orderkey"),
+        col("o_orderdate").cast("date").as("o_orderdate"),
+        lag(col("o_totalprice"), 1).over(w).as("prev_price"),
+        lag(col("o_totalprice"), 2, -1.0).over(w).as("prev2_price"),
+        lead(col("o_totalprice"), 1, 0.0).over(w).as("next_price"),
+        datediff(col("o_orderdate").cast("date"),
+          lag(col("o_orderdate"), 1).over(w).cast("date")).as("days_since_prev"))
+      .filter(col("o_custkey") <= 200)
+      .orderBy(col("o_custkey"), col("o_orderkey"))
+  }
+
+  val qWindowLagSql: String = """
+    SELECT o_custkey, o_orderkey, CAST(o_orderdate AS DATE) AS o_orderdate,
+           LAG(o_totalprice, 1)        OVER w AS prev_price,
+           LAG(o_totalprice, 2, -1.0)  OVER w AS prev2_price,
+           LEAD(o_totalprice, 1, 0.0)  OVER w AS next_price,
+           DATEDIFF('day', CAST(LAG(o_orderdate, 1) OVER w AS DATE), CAST(o_orderdate AS DATE)) AS days_since_prev
+    FROM orders
+    WHERE o_custkey <= 200
+    WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate ASC, o_orderkey ASC)
+    ORDER BY o_custkey, o_orderkey"""
+
+  /** ROWS and RANGE frames + first/last_value + agg-over-window
+    * (reference frame rules: AnalyticWindow.java:37-90 — Impala restricts
+    * RANGE to UNBOUNDED/CURRENT endpoints; Spark matches those and more).
+    * Frame sums are decimal-exact then surfaced as double. */
+  def qWindowFrames(spark: SparkSession, dir: String): DataFrame = {
+    val li = Tables.load(spark, dir, "lineitem")
+    val ord = Window.partitionBy(col("l_orderkey"))
+      .orderBy(col("l_linenumber").asc)
+    val dec = col("l_extendedprice").cast("decimal(28,2)")
+    li.filter(col("l_orderkey") <= 2000)
+      .select(
+        col("l_orderkey"), col("l_linenumber"), col("l_extendedprice"),
+        sum(dec).over(ord.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+          .cast("double").as("running_sum"),
+        sum(dec).over(ord.rowsBetween(-1, 1)).cast("double").as("window3_sum"),
+        sum(dec).over(ord.rangeBetween(Window.unboundedPreceding, Window.unboundedFollowing))
+          .cast("double").as("order_total"),
+        first(col("l_extendedprice")).over(ord).as("first_price"),
+        last(col("l_extendedprice")).over(
+          ord.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)).as("last_price"),
+        count(lit(1)).over(ord.rowsBetween(Window.unboundedPreceding, Window.currentRow)).as("running_n"))
+      .orderBy(col("l_orderkey"), col("l_linenumber"))
+  }
+
+  val qWindowFramesSql: String = """
+    SELECT l_orderkey, l_linenumber, l_extendedprice,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(28,2)))
+                OVER (w ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS running_sum,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(28,2)))
+                OVER (w ROWS BETWEEN 1 PRECEDING AND 1 FOLLOWING) AS DOUBLE) AS window3_sum,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(28,2)))
+                OVER (w RANGE BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS DOUBLE) AS order_total,
+           FIRST_VALUE(l_extendedprice) OVER (w ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS first_price,
+           LAST_VALUE(l_extendedprice)  OVER (w ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS last_price,
+           COUNT(*) OVER (w ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS running_n
+    FROM lineitem
+    WHERE l_orderkey <= 2000
+    WINDOW w AS (PARTITION BY l_orderkey ORDER BY l_linenumber ASC)
+    ORDER BY l_orderkey, l_linenumber"""
+}

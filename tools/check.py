@@ -21,8 +21,14 @@ def norm_cell(v):
     if v is None: return "NULL"
     if isinstance(v, float):
         if v != v: return "NaN"
-        return f"{v:.10g}"
+        if v == 0.0: return "0"  # collapse -0.0 / 0.0
+        return repr(v)  # full round-trip precision: local PASS predicts driver PASS
     if isinstance(v, bytes): return v.hex()
+    import datetime
+    if isinstance(v, datetime.datetime) and v.tzinfo is not None:
+        # tz-aware (Spark LTZ parquet) vs naive (DuckDB) render differently;
+        # session TZ is UTC so strip tzinfo for a fair instant compare.
+        return str(v.replace(tzinfo=None))
     return str(v)
 
 def table_hash(tbl: pa.Table):
