@@ -3,10 +3,15 @@ package graft
 import org.apache.spark.sql.SparkSession
 
 /** Impala-dialect function surface registered onto a SparkSession.
-  * (Filled in by the functions layer; kept minimal while slice 0 lands.)
+  * Memoized per session — `EngineSession.adopt` runs on every catalog
+  * query invocation and re-registering 40+ functions each time would spam
+  * "function replaced" warnings (and waste registry churn).
   */
 object Dialect {
-  def registerAll(spark: SparkSession): Unit = {
-    functions.ImpalaFunctions.register(spark)
-  }
+  private val done =
+    java.util.Collections.newSetFromMap(
+      new java.util.concurrent.ConcurrentHashMap[SparkSession, java.lang.Boolean]())
+
+  def registerAll(spark: SparkSession): Unit =
+    if (done.add(spark)) functions.ImpalaFunctions.register(spark)
 }

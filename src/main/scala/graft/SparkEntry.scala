@@ -1,7 +1,7 @@
 package graft
 import org.apache.spark.sql.{SparkSession, DataFrame}
 
-import graft.queries.{Relational, Joins, Aggregates, Windows, SetOps}
+import graft.queries.{Relational, Joins, Aggregates, Windows, SetOps, FunctionCorpus}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   * One `queries` entry per implemented operator from SURVEY.md §2; every
@@ -39,7 +39,12 @@ object SparkEntry {
     // §2.7 set ops + subqueries
     "q_union" -> q(SetOps.qUnion),
     "q_cte_exists" -> q(SetOps.qCteExists),
-    "q_values" -> q(SetOps.qValues)
+    "q_values" -> q(SetOps.qValues),
+    // §2.9 scalar function families (dialect surface)
+    "q_fn_string" -> q(FunctionCorpus.qFnString),
+    "q_fn_math" -> q(FunctionCorpus.qFnMath),
+    "q_fn_date" -> q(FunctionCorpus.qFnDate),
+    "q_fn_cond" -> q(FunctionCorpus.qFnCond)
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -64,6 +69,10 @@ object SparkEntry {
     "q_window_frames" -> Windows.qWindowFramesSql,
     "q_union" -> SetOps.qUnionSql,
     "q_cte_exists" -> SetOps.qCteExistsSql,
-    "q_values" -> SetOps.qValuesSql
+    "q_values" -> SetOps.qValuesSql,
+    "q_fn_string" -> FunctionCorpus.qFnStringSql,
+    "q_fn_math" -> FunctionCorpus.qFnMathSql,
+    "q_fn_date" -> FunctionCorpus.qFnDateSql,
+    "q_fn_cond" -> FunctionCorpus.qFnCondSql
   )
 }

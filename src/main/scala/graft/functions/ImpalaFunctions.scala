@@ -1,14 +1,134 @@
 package graft.functions
 
 import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions._
+import org.apache.spark.sql.catalyst.expressions.aggregate._
+import org.apache.spark.sql.types._
 
-/** Registration point for the Impala scalar-function alias surface
-  * (reference: common/function-registry/impala_functions.py — the canonical
-  * builtin list). Aliases land here as SQL-level function registrations so
-  * both `spark.sql` text and the Column API can use them.
+/** The Impala dialect surface: every scalar/aggregate name the reference
+  * registers (common/function-registry/impala_functions.py;
+  * fe/.../catalog/BuiltinsDb.java:522-792) that Spark doesn't already ship
+  * under the same name+semantics, expressed as Catalyst expression builders
+  * so every alias inlines into whole-stage codegen (no boxed UDF hop).
+  *
+  * Functions Spark already provides with identical names/semantics (abs,
+  * ceil, concat, lower, regexp_replace, year, nvl, coalesce, least,
+  * greatest, pmod, conv, hex, parse_url, translate, instr, locate,
+  * find_in_set, …) are deliberately NOT re-registered — the point is the
+  * delta, not a parallel registry.
   */
 object ImpalaFunctions {
-  def register(spark: SparkSession): Unit = {
-    // populated by the dialect layer (SURVEY §7 step 2)
+
+  private type Builder = Seq[Expression] => Expression
+
+  /** Registry of Impala-only names → Catalyst builders. */
+  def builders: Map[String, Builder] = Map(
+    // ---- utility (utility-functions.cc) ----
+    "fnv_hash" -> { case Seq(e) => FnvHash(e) },
+
+    // ---- conditional family (conditional-functions.cc) ----
+    // Impala isnull(a,b) is 2-arg coalesce; keep Spark's 1-arg isnull too.
+    "isnull" -> {
+      case Seq(e) => IsNull(e)
+      case Seq(a, b) => Coalesce(Seq(a, b))
+    },
+    "nullifzero" -> { case Seq(e) => new NullIf(e, Literal(0)) },
+    "zeroifnull" -> { case Seq(e) => Coalesce(Seq(e, Literal(0))) },
+    "istrue" -> { case Seq(e) => EqualNullSafe(e, Literal(true)) },
+    "isfalse" -> { case Seq(e) => EqualNullSafe(e, Literal(false)) },
+    "isnottrue" -> { case Seq(e) => Not(EqualNullSafe(e, Literal(true))) },
+    "isnotfalse" -> { case Seq(e) => Not(EqualNullSafe(e, Literal(false))) },
+    "nonnullvalue" -> { case Seq(e) => IsNotNull(e) },
+    "nullvalue" -> { case Seq(e) => IsNull(e) },
+
+    // ---- string family (string-functions.cc) ----
+    "strleft" -> { case Seq(s, n) => Substring(s, Literal(1), n) },
+    "strright" -> { case Seq(s, n) =>
+      // substr(s, -n) with n>=length(s) clamping handled by Substring itself
+      Substring(s, UnaryMinus(n), Literal(Int.MaxValue))
+    },
+
+    // ---- math family (math-functions.cc) ----
+    "quotient" -> { case Seq(a, b) =>
+      IntegralDivide(Cast(a, LongType), Cast(b, LongType))
+    },
+    "fmod" -> { case Seq(a, b) => Remainder(Cast(a, DoubleType), Cast(b, DoubleType)) },
+    "is_inf" -> { case Seq(e) => EqualTo(Abs(Cast(e, DoubleType)), Literal(Double.PositiveInfinity)) },
+    "is_nan" -> { case Seq(e) => IsNaN(e) },
+    "dtrunc" -> truncateBuilder,
+    "truncate" -> truncateBuilder,
+
+    // ---- timestamp family (timestamp-functions.cc; interval arithmetic
+    //      fe/.../analysis/TimestampArithmeticExpr.java) ----
+    "years_add" -> tsAdd("YEAR"), "years_sub" -> tsSub("YEAR"),
+    "months_add" -> tsAdd("MONTH"), "months_sub" -> tsSub("MONTH"),
+    "weeks_add" -> tsAdd("WEEK"), "weeks_sub" -> tsSub("WEEK"),
+    "days_add" -> tsAdd("DAY"), "days_sub" -> tsSub("DAY"),
+    "hours_add" -> tsAdd("HOUR"), "hours_sub" -> tsSub("HOUR"),
+    "minutes_add" -> tsAdd("MINUTE"), "minutes_sub" -> tsSub("MINUTE"),
+    "seconds_add" -> tsAdd("SECOND"), "seconds_sub" -> tsSub("SECOND"),
+    "milliseconds_add" -> tsAdd("MILLISECOND"), "milliseconds_sub" -> tsSub("MILLISECOND"),
+    "microseconds_add" -> tsAdd("MICROSECOND"), "microseconds_sub" -> tsSub("MICROSECOND"),
+    // ns resolution doesn't exist on µs timestamps: ns div 1000 (documented
+    // delta vs the reference's ns-resolution TimestampValue).
+    "nanoseconds_add" -> { case Seq(t, n) =>
+      TimestampAdd("MICROSECOND", IntegralDivide(Cast(n, LongType), Literal(1000L)), t)
+    },
+    "nanoseconds_sub" -> { case Seq(t, n) =>
+      TimestampAdd("MICROSECOND", UnaryMinus(IntegralDivide(Cast(n, LongType), Literal(1000L))), t)
+    },
+    "dayname" -> { case Seq(e) => new DateFormatClass(e, Literal("EEEE")) },
+
+    // ---- aggregate family (BuiltinsDb.java:522-792) ----
+    "ndv" -> { case Seq(e) => HyperLogLogPlusPlus(e) },
+    "appx_count_distinct" -> { case Seq(e) => HyperLogLogPlusPlus(e) },
+    // Legacy Flajolet-Martin PC/PCSA sketches → HLL++ (same estimate role).
+    "distinctpc" -> { case Seq(e) => HyperLogLogPlusPlus(e) },
+    "distinctpcsa" -> { case Seq(e) => HyperLogLogPlusPlus(e) },
+    "appx_median" -> { case Seq(e) => new ApproximatePercentile(e, Literal(0.5d)) },
+    // group_concat as a real UDA (returns the raw AggregateFunction so
+    // DISTINCT/FILTER clauses compose with it like any builtin aggregate).
+    "group_concat" -> {
+      case Seq(e) => new GroupConcat(Cast(e, StringType))
+      case Seq(e, sep) => new GroupConcat(Cast(e, StringType), Cast(sep, StringType))
+    },
+    // histogram(x): equi-height bucket boundaries as a comma-separated
+    // string (reference shape: aggregate-functions.h:143-167).
+    "histogram" -> { case Seq(e) =>
+      val pcts = CreateArray((0 to 10).map(i => Literal(i / 10.0)))
+      ArrayJoin(
+        Cast(new ApproximatePercentile(e, pcts).toAggregateExpression(), ArrayType(StringType)),
+        Literal(", "), None)
+    }
+  )
+
+  private def tsAdd(unit: String): Builder = { case Seq(t, n) => TimestampAdd(unit, n, t) }
+  private def tsSub(unit: String): Builder = { case Seq(t, n) => TimestampAdd(unit, UnaryMinus(n), t) }
+
+  /** Numeric truncate-toward-zero at `d` decimal places (Impala
+    * truncate/dtrunc; math-functions.cc). */
+  private def truncateBuilder: Builder = {
+    case Seq(x) => truncExpr(x, Literal(0))
+    case Seq(x, d) => truncExpr(x, d)
   }
+
+  private def truncExpr(x: Expression, d: Expression): Expression = {
+    val p = Pow(Literal(10.0), Cast(d, DoubleType))
+    val scaled = Multiply(Cast(x, DoubleType), p)
+    If(GreaterThanOrEqual(Cast(x, DoubleType), Literal(0.0)),
+      Divide(Cast(Floor(scaled), DoubleType), p),
+      Divide(Cast(Ceil(scaled), DoubleType), p))
+  }
+
+  /** Install the dialect onto a session (idempotent). */
+  def register(spark: SparkSession): Unit = {
+    val registry = spark.sessionState.functionRegistry
+    builders.foreach { case (name, builder) =>
+      registry.createOrReplaceTempFunction(name, builder, "scala_udf")
+    }
+  }
+
+  /** Names this layer adds (for tests / SHOW FUNCTIONS-style surface). */
+  def names: Seq[String] = builders.keys.toSeq.sorted
 }

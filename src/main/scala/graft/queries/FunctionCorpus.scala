@@ -1,0 +1,265 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+import graft.Tables
+
+/** Scalar-function corpus — wide SELECTs per family (mirroring the
+  * reference's family registry common/function-registry/impala_functions.py
+  * and its golden eval suite be/src/exprs/expr-test.cc), each with a
+  * DuckDB-equivalent oracle. Run through the SQL surface so the registered
+  * dialect aliases (strleft, quotient, nullifzero, days_add, …) are what's
+  * actually exercised.
+  *
+  * Where Spark and DuckDB spell a function differently the oracle uses the
+  * DuckDB spelling of the same semantics (e.g. strleft→left, instr→strpos,
+  * dayofweek is 1-based in Spark vs 0-based in DuckDB). Transcendentals are
+  * rounded to 6 decimals — JVM Math.* and libm agree to ~1 ulp, not
+  * bit-exactly.
+  */
+object FunctionCorpus {
+
+  private def run(spark: SparkSession, dir: String, sql: String): DataFrame = {
+    Tables.ensureViews(spark, dir)
+    spark.sql(sql)
+  }
+
+  // ---------------------------------------------------------------- string
+  def qFnString(spark: SparkSession, dir: String): DataFrame =
+    run(spark, dir, """
+      SELECT p_partkey,
+             strleft(p_name, 5)                        AS sl,
+             strright(p_name, 4)                       AS sr,
+             upper(p_name)                             AS up,
+             lower(p_brand)                            AS lo,
+             length(p_name)                            AS len,
+             char_length(p_type)                       AS clen,
+             concat(p_brand, ':', p_type)              AS cat,
+             concat_ws('-', p_brand, p_type, p_name)   AS catws,
+             lpad(p_brand, 12, '*')                    AS lp,
+             rpad(p_brand, 12, '.')                    AS rp,
+             trim(lpad(p_name, 20, ' '))               AS tr,
+             ltrim(concat('  ', p_name))               AS ltr,
+             rtrim(concat(p_name, '  '))               AS rtr,
+             reverse(p_name)                           AS rev,
+             substr(p_name, 3, 6)                      AS sub,
+             instr(p_name, 'e')                        AS ins,
+             locate('o', p_name)                       AS loc,
+             ascii(p_name)                             AS asc_,
+             repeat(p_brand, 2)                        AS rep,
+             translate(p_name, 'aeiou', 'AEIOU')       AS trans,
+             space(3)                                  AS sp,
+             regexp_replace(p_name, '[aeiou]', '_')    AS rre,
+             regexp_extract(p_brand, '([0-9]+)', 1)    AS rex,
+             split(p_name, ' ')[0]                     AS sp0,
+             find_in_set('red', replace(p_name, ' ', ',')) AS fis
+      FROM part
+      WHERE p_partkey <= 300
+      ORDER BY p_partkey""")
+
+  val qFnStringSql: String = """
+      SELECT p_partkey,
+             left(p_name, 5)                           AS sl,
+             right(p_name, 4)                          AS sr,
+             upper(p_name)                             AS up,
+             lower(p_brand)                            AS lo,
+             length(p_name)                            AS len,
+             length(p_type)                            AS clen,
+             concat(p_brand, ':', p_type)              AS cat,
+             concat_ws('-', p_brand, p_type, p_name)   AS catws,
+             lpad(p_brand, 12, '*')                    AS lp,
+             rpad(p_brand, 12, '.')                    AS rp,
+             trim(lpad(p_name, 20, ' '))               AS tr,
+             ltrim(concat('  ', p_name))               AS ltr,
+             rtrim(concat(p_name, '  '))               AS rtr,
+             reverse(p_name)                           AS rev,
+             substr(p_name, 3, 6)                      AS sub,
+             strpos(p_name, 'e')                       AS ins,
+             strpos(p_name, 'o')                       AS loc,
+             ascii(p_name)                             AS asc_,
+             repeat(p_brand, 2)                        AS rep,
+             translate(p_name, 'aeiou', 'AEIOU')       AS trans,
+             '   '                                     AS sp,
+             regexp_replace(p_name, '[aeiou]', '_', 'g') AS rre,
+             regexp_extract(p_brand, '([0-9]+)', 1)    AS rex,
+             string_split(p_name, ' ')[1]              AS sp0,
+             CASE WHEN list_position(string_split(replace(p_name, ' ', ','), ','), 'red') IS NULL
+                  THEN 0 ELSE list_position(string_split(replace(p_name, ' ', ','), ','), 'red') END AS fis
+      FROM part
+      WHERE p_partkey <= 300
+      ORDER BY p_partkey"""
+
+  // ------------------------------------------------------------------ math
+  def qFnMath(spark: SparkSession, dir: String): DataFrame =
+    run(spark, dir, """
+      SELECT l_orderkey, l_linenumber,
+             abs(-l_quantity)                          AS a,
+             CAST(ceil(l_extendedprice / 100) AS BIGINT) AS ce,
+             CAST(floor(l_extendedprice / 100) AS BIGINT) AS fl,
+             CAST(sign(l_quantity - 25) AS INT)        AS sg,
+             CAST(sqrt(l_quantity) AS DECIMAL(20,10))  AS sq,
+             round(exp(l_discount), 6)                 AS ex,
+             round(ln(l_quantity + 1), 6)              AS lnx,
+             round(log10(l_extendedprice), 6)          AS lg10,
+             round(log2(l_quantity + 1), 6)            AS lg2,
+             round(pow(l_quantity, 2), 4)              AS pw,
+             pmod(l_partkey, 7)                        AS pm,
+             l_partkey % 5                             AS md,
+             quotient(l_partkey, 7)                    AS qu,
+             greatest(l_quantity, l_discount * 100)    AS gr,
+             least(l_quantity, l_tax * 100)            AS le,
+             round(sin(l_discount), 6)                 AS sn,
+             round(cos(l_discount), 6)                 AS cs,
+             round(atan(l_discount), 6)                AS at,
+             round(radians(l_quantity), 6)             AS rad,
+             round(degrees(l_discount), 6)             AS deg,
+             hex(l_partkey)                            AS hx,
+             truncate(l_extendedprice / 7, 2)          AS tc,
+             is_inf(l_quantity / 0.0)                  AS inf,
+             is_nan(l_quantity * CAST('NaN' AS DOUBLE)) AS nan
+      FROM lineitem
+      WHERE l_orderkey <= 300
+      ORDER BY l_orderkey, l_linenumber""")
+
+  val qFnMathSql: String = """
+      SELECT l_orderkey, l_linenumber,
+             abs(-l_quantity)                          AS a,
+             CAST(ceil(l_extendedprice / 100) AS BIGINT) AS ce,
+             CAST(floor(l_extendedprice / 100) AS BIGINT) AS fl,
+             CAST(sign(l_quantity - 25) AS INT)        AS sg,
+             CAST(sqrt(l_quantity) AS DECIMAL(20,10))  AS sq,
+             round(exp(l_discount), 6)                 AS ex,
+             round(ln(l_quantity + 1), 6)              AS lnx,
+             round(log10(l_extendedprice), 6)          AS lg10,
+             round(log2(l_quantity + 1), 6)            AS lg2,
+             round(pow(l_quantity, 2), 4)              AS pw,
+             ((l_partkey % 7) + 7) % 7                 AS pm,
+             l_partkey % 5                             AS md,
+             CAST(floor(l_partkey / 7) AS BIGINT)      AS qu,
+             greatest(l_quantity, l_discount * 100)    AS gr,
+             least(l_quantity, l_tax * 100)            AS le,
+             round(sin(l_discount), 6)                 AS sn,
+             round(cos(l_discount), 6)                 AS cs,
+             round(atan(l_discount), 6)                AS at,
+             round(radians(l_quantity), 6)             AS rad,
+             round(degrees(l_discount), 6)             AS deg,
+             to_hex(l_partkey)                         AS hx,
+             floor(l_extendedprice / 7 * 100) / 100    AS tc,
+             isinf(l_quantity / 0.0)                   AS inf,
+             isnan(l_quantity * CAST('NaN' AS DOUBLE)) AS nan
+      FROM lineitem
+      WHERE l_orderkey <= 300
+      ORDER BY l_orderkey, l_linenumber"""
+
+  // ------------------------------------------------------------- timestamp
+  def qFnDate(spark: SparkSession, dir: String): DataFrame =
+    run(spark, dir, """
+      SELECT o_orderkey,
+             year(o_orderdate)                          AS y,
+             quarter(o_orderdate)                       AS q,
+             month(o_orderdate)                         AS m,
+             day(o_orderdate)                           AS d,
+             dayofyear(o_orderdate)                     AS doy,
+             dayofweek(o_orderdate)                     AS dow,
+             weekofyear(o_orderdate)                    AS woy,
+             dayname(o_orderdate)                       AS dn,
+             CAST(date_trunc('month', o_orderdate) AS DATE)  AS mstart,
+             CAST(years_add(o_orderdate, 1) AS DATE)    AS ya,
+             CAST(months_sub(o_orderdate, 2) AS DATE)   AS ms,
+             CAST(weeks_add(o_orderdate, 3) AS DATE)    AS wa,
+             CAST(days_add(o_orderdate, 45) AS DATE)    AS da,
+             hours_add(o_orderdate, 7)                  AS ha,
+             minutes_add(o_orderdate, 90)               AS mia,
+             seconds_sub(o_orderdate, 61)               AS ssub,
+             milliseconds_add(o_orderdate, 1500)        AS msa,
+             datediff(CAST('1998-01-01' AS DATE), CAST(o_orderdate AS DATE)) AS dd,
+             CAST(last_day(o_orderdate) AS DATE)        AS ld,
+             date_format(o_orderdate, 'yyyy/MM/dd')     AS fmt,
+             CAST(unix_timestamp(o_orderdate) AS BIGINT) AS ut,
+             CAST(to_date(o_orderdate) AS DATE)         AS td
+      FROM orders
+      WHERE o_orderkey <= 500
+      ORDER BY o_orderkey""")
+
+  val qFnDateSql: String = """
+      SELECT o_orderkey,
+             year(o_orderdate)                          AS y,
+             quarter(o_orderdate)                       AS q,
+             month(o_orderdate)                         AS m,
+             day(o_orderdate)                           AS d,
+             dayofyear(o_orderdate)                     AS doy,
+             dayofweek(o_orderdate) + 1                 AS dow,
+             weekofyear(o_orderdate)                    AS woy,
+             dayname(o_orderdate)                       AS dn,
+             CAST(date_trunc('month', o_orderdate) AS DATE)  AS mstart,
+             CAST(o_orderdate + INTERVAL 1 YEAR AS DATE)     AS ya,
+             CAST(o_orderdate - INTERVAL 2 MONTH AS DATE)    AS ms,
+             CAST(o_orderdate + INTERVAL 21 DAY AS DATE)     AS wa,
+             CAST(o_orderdate + INTERVAL 45 DAY AS DATE)     AS da,
+             o_orderdate + INTERVAL 7 HOUR              AS ha,
+             o_orderdate + INTERVAL 90 MINUTE           AS mia,
+             o_orderdate - INTERVAL 61 SECOND           AS ssub,
+             o_orderdate + INTERVAL 1500 MILLISECOND    AS msa,
+             datediff('day', CAST(o_orderdate AS DATE), DATE '1998-01-01') AS dd,
+             last_day(CAST(o_orderdate AS DATE))        AS ld,
+             strftime(o_orderdate, '%Y/%m/%d')          AS fmt,
+             CAST(epoch(o_orderdate) AS BIGINT)         AS ut,
+             CAST(o_orderdate AS DATE)                  AS td
+      FROM orders
+      WHERE o_orderkey <= 500
+      ORDER BY o_orderkey"""
+
+  // ----------------------------------------------------------- conditional
+  def qFnCond(spark: SparkSession, dir: String): DataFrame =
+    run(spark, dir, """
+      SELECT c_custkey,
+             if(c_acctbal > 5000, 'rich', 'modest')     AS tier,
+             coalesce(nullif(c_mktsegment, 'BUILDING'), 'none') AS seg,
+             nvl(nullif(c_nationkey, 0), -1)            AS nk,
+             nullifzero(c_nationkey % 3)                AS nz,
+             zeroifnull(nullif(c_nationkey, c_nationkey)) AS zn,
+             istrue(c_acctbal > 5000)                   AS it,
+             isfalse(c_acctbal > 5000)                  AS isf,
+             isnottrue(c_acctbal > 5000)                AS int_,
+             isnotfalse(c_acctbal > 5000)               AS inf_,
+             nonnullvalue(nullif(c_mktsegment, 'AUTOMOBILE')) AS nnv,
+             nullvalue(nullif(c_mktsegment, 'AUTOMOBILE'))    AS nv,
+             isnull(nullif(c_mktsegment, 'MACHINERY'), 'was_machinery') AS isn2,
+             CASE WHEN c_acctbal < 0 THEN 'neg'
+                  WHEN c_acctbal < 1000 THEN 'low'
+                  ELSE 'high' END                       AS cases,
+             CASE c_mktsegment WHEN 'BUILDING' THEN 1 WHEN 'MACHINERY' THEN 2 ELSE 0 END AS casesimple,
+             c_acctbal BETWEEN 100 AND 200              AS btw,
+             c_nationkey IN (1, 3, 5, 7)                AS inlist,
+             c_name LIKE 'Customer#00000000%'           AS lk,
+             c_name RLIKE '0{3}[0-9]$'                  AS rlk
+      FROM customer
+      WHERE c_custkey <= 400
+      ORDER BY c_custkey""")
+
+  val qFnCondSql: String = """
+      SELECT c_custkey,
+             CASE WHEN c_acctbal > 5000 THEN 'rich' ELSE 'modest' END AS tier,
+             coalesce(nullif(c_mktsegment, 'BUILDING'), 'none') AS seg,
+             coalesce(nullif(c_nationkey, 0), -1)       AS nk,
+             nullif(c_nationkey % 3, 0)                 AS nz,
+             coalesce(nullif(c_nationkey, c_nationkey), 0) AS zn,
+             coalesce(c_acctbal > 5000, false)          AS it,
+             coalesce(NOT (c_acctbal > 5000), false)    AS isf,
+             NOT coalesce(c_acctbal > 5000, false)      AS int_,
+             NOT coalesce(NOT (c_acctbal > 5000), false) AS inf_,
+             nullif(c_mktsegment, 'AUTOMOBILE') IS NOT NULL AS nnv,
+             nullif(c_mktsegment, 'AUTOMOBILE') IS NULL     AS nv,
+             coalesce(nullif(c_mktsegment, 'MACHINERY'), 'was_machinery') AS isn2,
+             CASE WHEN c_acctbal < 0 THEN 'neg'
+                  WHEN c_acctbal < 1000 THEN 'low'
+                  ELSE 'high' END                       AS cases,
+             CASE c_mktsegment WHEN 'BUILDING' THEN 1 WHEN 'MACHINERY' THEN 2 ELSE 0 END AS casesimple,
+             c_acctbal BETWEEN 100 AND 200              AS btw,
+             c_nationkey IN (1, 3, 5, 7)                AS inlist,
+             c_name LIKE 'Customer#00000000%'           AS lk,
+             regexp_matches(c_name, '0{3}[0-9]$')       AS rlk
+      FROM customer
+      WHERE c_custkey <= 400
+      ORDER BY c_custkey"""
+}

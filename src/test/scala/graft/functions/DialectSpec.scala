@@ -1,0 +1,96 @@
+package graft.functions
+
+import graft.SparkSpec
+
+/** Golden cases for the Impala dialect alias surface — shapes ported from
+  * the reference's per-function eval suite (be/src/exprs/expr-test.cc). */
+class DialectSpec extends SparkSpec {
+
+  test("string family aliases") {
+    assert(sql1("strleft('hello world', 5)") === "hello")
+    assert(sql1("strleft('ab', 5)") === "ab")
+    assert(sql1("strright('hello world', 5)") === "world")
+    assert(sql1("strright('ab', 5)") === "ab")
+  }
+
+  test("conditional family") {
+    assert(sql1("nullifzero(0)") === null)
+    assert(sql1("nullifzero(0.0)") === null)
+    assert(sql1("nullifzero(5)") === 5)
+    assert(sql1("zeroifnull(CAST(NULL AS INT))") === 0)
+    assert(sql1("zeroifnull(42)") === 42)
+    assert(sql1("istrue(1 = 1)") === true)
+    assert(sql1("istrue(CAST(NULL AS BOOLEAN))") === false)
+    assert(sql1("isfalse(1 = 2)") === true)
+    assert(sql1("isfalse(CAST(NULL AS BOOLEAN))") === false)
+    assert(sql1("isnottrue(CAST(NULL AS BOOLEAN))") === true)
+    assert(sql1("isnotfalse(CAST(NULL AS BOOLEAN))") === true)
+    assert(sql1("nullvalue(CAST(NULL AS INT))") === true)
+    assert(sql1("nonnullvalue(3)") === true)
+    // Impala's 2-arg isnull == coalesce; Spark's 1-arg isnull preserved
+    assert(sql1("isnull(NULL, 'fallback')") === "fallback")
+    assert(sql1("isnull('x', 'fallback')") === "x")
+    assert(sql1("isnull(CAST(NULL AS INT))") === true)
+  }
+
+  test("math family") {
+    assert(sql1("quotient(13, 4)") === 3L)
+    assert(sql1("quotient(-13, 4)") === -3L) // truncates toward zero
+    assert(sql1("fmod(10.5, 3.0)").asInstanceOf[Double] === 1.5)
+    assert(sql1("truncate(3.4567, 2)").asInstanceOf[Double] === 3.45)
+    assert(sql1("truncate(-3.4567, 2)").asInstanceOf[Double] === -3.45)
+    assert(sql1("truncate(3.99)").asInstanceOf[Double] === 3.0)
+    // any division by zero is NULL under ansi=false (Impala x/0 → NULL too)
+    assert(sql1("is_inf(CAST(1.0 AS DOUBLE) / CAST(0.0 AS DOUBLE))") === null)
+    assert(sql1("is_inf(CAST('Infinity' AS DOUBLE))") === true)
+    assert(sql1("is_inf(CAST('-Infinity' AS DOUBLE))") === true)
+    assert(sql1("is_inf(1.0)") === false)
+    assert(sql1("is_nan(CAST('NaN' AS DOUBLE))") === true)
+  }
+
+  test("timestamp arithmetic matches calendar semantics") {
+    assert(sql1("CAST(years_add(TIMESTAMP_NTZ '2000-02-29 00:00:00', 1) AS STRING)")
+      === "2001-02-28 00:00:00") // leap-day clamps to month end
+    assert(sql1("CAST(days_add(TIMESTAMP_NTZ '1999-12-31 23:00:00', 1) AS STRING)")
+      === "2000-01-01 23:00:00")
+    assert(sql1("CAST(months_sub(TIMESTAMP_NTZ '2000-03-31 00:00:00', 1) AS STRING)")
+      === "2000-02-29 00:00:00")
+    assert(sql1("CAST(hours_add(TIMESTAMP_NTZ '2000-01-01 23:30:00', 2) AS STRING)")
+      === "2000-01-02 01:30:00")
+    assert(sql1("CAST(seconds_sub(TIMESTAMP_NTZ '2000-01-01 00:00:30', 31) AS STRING)")
+      === "1999-12-31 23:59:59")
+    assert(sql1("CAST(milliseconds_add(TIMESTAMP_NTZ '2000-01-01 00:00:00', 1500) AS STRING)")
+      === "2000-01-01 00:00:01.5")
+    assert(sql1("CAST(nanoseconds_add(TIMESTAMP_NTZ '2000-01-01 00:00:00', 1500) AS STRING)")
+      === "2000-01-01 00:00:00.000001") // ns floor to µs (documented delta)
+    assert(sql1("dayname(DATE '2024-01-01')") === "Monday")
+  }
+
+  test("aggregate aliases") {
+    import spark.implicits._
+    val df = (1 to 1000).map(i => (i % 10, i)).toDF("g", "x")
+    df.createOrReplaceTempView("agg_t")
+    val ndv = spark.sql("SELECT ndv(x) FROM agg_t").collect()(0).getLong(0)
+    assert(math.abs(ndv - 1000) <= 50, s"ndv=$ndv") // HLL++ ~2% error
+    val med = spark.sql("SELECT appx_median(x) FROM agg_t").collect()(0).getInt(0)
+    assert(math.abs(med - 500) <= 25, s"appx_median=$med")
+    val gc = spark.sql("SELECT group_concat(DISTINCT g, '|') FROM (SELECT CAST(g AS STRING) g FROM agg_t)")
+      .collect()(0).getString(0)
+    assert(gc === "0|1|2|3|4|5|6|7|8|9")
+    val hist = spark.sql("SELECT histogram(x) FROM agg_t").collect()(0).getString(0)
+    assert(hist.split(", ").length === 11)
+  }
+
+  test("builtin distributed stddev/variance agree with single-node formula") {
+    import spark.implicits._
+    val xs = (1 to 10000).map(_.toDouble)
+    val df = xs.toDF("x").repartition(8)
+    val Array(sd, v) = df.selectExpr("stddev_samp(x)", "var_samp(x)")
+      .collect()(0).toSeq.map(_.asInstanceOf[Double]).toArray
+    val n = xs.size
+    val mean = xs.sum / n
+    val exact = xs.map(x => (x - mean) * (x - mean)).sum / (n - 1)
+    assert(math.abs(v - exact) / exact < 1e-9)
+    assert(math.abs(sd - math.sqrt(exact)) / math.sqrt(exact) < 1e-9)
+  }
+}
