@@ -1,7 +1,7 @@
 package graft
 import org.apache.spark.sql.{SparkSession, DataFrame}
 
-import graft.queries.{Relational, Joins, Aggregates, Windows, SetOps, FunctionCorpus}
+import graft.queries.{Relational, Joins, Aggregates, Windows, SetOps, FunctionCorpus, LlmOps}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   * One `queries` entry per implemented operator from SURVEY.md §2; every
@@ -44,7 +44,15 @@ object SparkEntry {
     "q_fn_string" -> q(FunctionCorpus.qFnString),
     "q_fn_math" -> q(FunctionCorpus.qFnMath),
     "q_fn_date" -> q(FunctionCorpus.qFnDate),
-    "q_fn_cond" -> q(FunctionCorpus.qFnCond)
+    "q_fn_cond" -> q(FunctionCorpus.qFnCond),
+    // LLM-data-pipeline operators (extension surface)
+    "q_dedup_exact" -> q(LlmOps.qDedupExact),
+    "q_dedup_minhash" -> q(LlmOps.qDedupMinhash),
+    "q_text_stats" -> q(LlmOps.qTextStats),
+    "q_text_fingerprints" -> q(LlmOps.qTextFingerprints),
+    "q_sim_search" -> q(LlmOps.qSimSearch),
+    "q_sim_search_lsh" -> q(LlmOps.qSimSearchLsh),
+    "q_multimodal" -> q(LlmOps.qMultimodal)
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -73,6 +81,11 @@ object SparkEntry {
     "q_fn_string" -> FunctionCorpus.qFnStringSql,
     "q_fn_math" -> FunctionCorpus.qFnMathSql,
     "q_fn_date" -> FunctionCorpus.qFnDateSql,
-    "q_fn_cond" -> FunctionCorpus.qFnCondSql
+    "q_fn_cond" -> FunctionCorpus.qFnCondSql,
+    "q_dedup_exact" -> LlmOps.qDedupExactSql,
+    "q_text_stats" -> LlmOps.qTextStatsSql,
+    "q_sim_search" -> LlmOps.qSimSearchSql
+    // q_dedup_minhash / q_text_fingerprints / q_sim_search_lsh / q_multimodal:
+    // hash-seeded operators DuckDB SQL can't reproduce — rows-only checks.
   )
 }

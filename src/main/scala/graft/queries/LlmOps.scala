@@ -1,0 +1,170 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+import graft.operators.{Dedup, Similarity, TextAnalysis, Multimodal}
+
+/** LLM-data-pipeline query catalog over documents/embeddings — the
+  * extension operators (dedup, similarity search, text analysis,
+  * multimodal) as oracle-checkable entries. */
+object LlmOps {
+
+  /** Exact dedup fingerprint table (DuckDB-mirrorable: md5 both sides). */
+  def qDedupExact(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.load(spark, dir, "documents")
+    Dedup.exactGroups(docs, "text", "doc_id")
+      .orderBy(col("fp"))
+  }
+
+  val qDedupExactSql: String = """
+    SELECT md5(text) AS fp, MIN(doc_id) AS survivor_id, COUNT(*) AS n_copies
+    FROM documents
+    GROUP BY md5(text)
+    ORDER BY fp"""
+
+  /** MinHash-LSH near-dup clusters: deterministic (hash-seeded, no RNG) but
+    * not expressible in DuckDB SQL → rows-only oracle. Always |docs| rows. */
+  def qDedupMinhash(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.load(spark, dir, "documents")
+    Dedup.minhashClusters(docs, "text", "doc_id").orderBy(col("doc_id"))
+  }
+
+  /** Text analysis: token counts, ratios, quality, language-ID — mirrored
+    * in DuckDB with equivalent regex/list SQL. */
+  def qTextStats(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.load(spark, dir, "documents")
+    val t = col("text")
+    docs.select(
+        col("doc_id"),
+        col("lang"),
+        TextAnalysis.tokenCount(t).as("n_tokens"),
+        TextAnalysis.bpeTokenCount(t).cast("long").as("n_bpe"),
+        round(TextAnalysis.avgTokenLen(t), 6).as("avg_tok_len"),
+        round(TextAnalysis.stopwordRatio(t), 6).as("stop_ratio"),
+        round(TextAnalysis.punctRatio(t), 6).as("punct_ratio"),
+        round(TextAnalysis.qualityScore(t), 6).as("quality"),
+        TextAnalysis.langGuess(t).as("lang_guess"))
+      .orderBy(col("doc_id"))
+  }
+
+  val qTextStatsSql: String = """
+    WITH base AS (
+      SELECT doc_id, lang, text,
+             len(string_split_regex(trim(text), '\s+')) AS n_tokens,
+             length(text) AS n_chars,
+             length(regexp_replace(text, '\s+', '', 'g')) AS n_nonspace,
+             length(regexp_replace(text, '[^.,;:!?''"()-]', '', 'g')) AS n_punct,
+             length(regexp_replace(text, '[^0-9]', '', 'g')) AS n_digit,
+             len(list_filter(string_split_regex(lower(trim(text)), '\s+'),
+                 t -> t IN ('the','a','of','and','to','in','is','it','that','for'))) AS n_stop,
+             len(regexp_extract_all(text, '\w+|[^\w\s]')) AS n_bpe,
+             (CASE WHEN regexp_matches(lower(text), '\bthe\b') THEN 1 ELSE 0 END +
+              CASE WHEN regexp_matches(lower(text), '\band\b') THEN 1 ELSE 0 END +
+              CASE WHEN regexp_matches(lower(text), '\bof\b') THEN 1 ELSE 0 END +
+              CASE WHEN regexp_matches(lower(text), '\bis\b') THEN 1 ELSE 0 END +
+              CASE WHEN regexp_matches(lower(text), '\ba\b') THEN 1 ELSE 0 END) AS s_en,
+             (CASE WHEN regexp_matches(lower(text), '\bder\b') THEN 1 ELSE 0 END +
+              CASE WHEN regexp_matches(lower(text), '\bdie\b') THEN 1 ELSE 0 END +
+              CASE WHEN regexp_matches(lower(text), '\bdas\b') THEN 1 ELSE 0 END +
+              CASE WHEN regexp_matches(lower(text), '\bund\b') THEN 1 ELSE 0 END +
+              CASE WHEN regexp_matches(lower(text), '\bist\b') THEN 1 ELSE 0 END) AS s_de,
+             (CASE WHEN regexp_matches(lower(text), '\ble\b') THEN 1 ELSE 0 END +
+              CASE WHEN regexp_matches(lower(text), '\bla\b') THEN 1 ELSE 0 END +
+              CASE WHEN regexp_matches(lower(text), '\bet\b') THEN 1 ELSE 0 END +
+              CASE WHEN regexp_matches(lower(text), '\best\b') THEN 1 ELSE 0 END +
+              CASE WHEN regexp_matches(lower(text), '\bles\b') THEN 1 ELSE 0 END) AS s_fr,
+             (CASE WHEN regexp_matches(lower(text), '\bel\b') THEN 1 ELSE 0 END +
+              CASE WHEN regexp_matches(lower(text), '\blos\b') THEN 1 ELSE 0 END +
+              CASE WHEN regexp_matches(lower(text), '\bes\b') THEN 1 ELSE 0 END +
+              CASE WHEN regexp_matches(lower(text), '\by\b') THEN 1 ELSE 0 END +
+              CASE WHEN regexp_matches(lower(text), '\bque\b') THEN 1 ELSE 0 END) AS s_es,
+             (CASE WHEN regexp_matches(lower(text), '[一-鿿]') THEN 5 ELSE 0 END) AS s_zh
+      FROM documents)
+    SELECT doc_id, lang, n_tokens, n_bpe,
+           round(CAST(n_nonspace AS DOUBLE) / n_tokens, 6) AS avg_tok_len,
+           round(CAST(n_stop AS DOUBLE) / greatest(n_tokens, 1), 6) AS stop_ratio,
+           round(CAST(n_punct AS DOUBLE) / greatest(n_chars, 1), 6) AS punct_ratio,
+           round(greatest(0.0, least(1.0,
+             least(CAST(n_chars AS DOUBLE) / 400.0, 1.0) * 0.4 +
+             least(CAST(n_stop AS DOUBLE) / greatest(n_tokens, 1) * 5.0, 1.0) * 0.4 +
+             (0.2 - least(CAST(n_punct AS DOUBLE) / greatest(n_chars, 1) +
+                          CAST(n_digit AS DOUBLE) / greatest(n_chars, 1), 0.2)))), 6) AS quality,
+           CASE WHEN greatest(s_en, s_de, s_fr, s_es, s_zh) = 0 THEN 'und'
+                WHEN s_zh >= greatest(s_en, s_de, s_fr, s_es) THEN 'zh'
+                WHEN s_de > greatest(s_en, s_fr, s_es) THEN 'de'
+                WHEN s_fr > greatest(s_en, s_es) THEN 'fr'
+                WHEN s_es > s_en THEN 'es'
+                ELSE 'en' END AS lang_guess
+    FROM base
+    ORDER BY doc_id"""
+
+  /** Brute-force cosine top-5: queries = vec_id < 10, corpus = the rest.
+    * Bit-exact vs DuckDB (sequential double folds on both sides). */
+  def qSimSearch(spark: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.load(spark, dir, "embeddings")
+    Similarity.bruteForceTopK(
+        emb.filter(col("vec_id") < 10),
+        emb.filter(col("vec_id") >= 10),
+        "vec_id", "embedding", k = 5)
+      .orderBy(col("query_id"), col("rnk"))
+  }
+
+  val qSimSearchSql: String = """
+    WITH q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE vec_id < 10),
+    c AS (SELECT vec_id AS cand_id, embedding AS cv FROM embeddings WHERE vec_id >= 10),
+    scored AS (
+      SELECT query_id, cand_id,
+             list_sum(list_transform(list_zip(qv, cv),
+               x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE))) /
+             (sqrt(list_sum(list_transform(qv, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) *
+              sqrt(list_sum(list_transform(cv, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))) AS sim
+      FROM c CROSS JOIN q),
+    ranked AS (
+      SELECT query_id, cand_id, sim,
+             ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY sim DESC, cand_id ASC) AS rnk
+      FROM scored)
+    SELECT query_id, cand_id, sim, rnk
+    FROM ranked WHERE rnk <= 5
+    ORDER BY query_id, rnk"""
+
+  /** LSH-bucketed top-3 (the 100 TB candidate-generation path): rows-only
+    * oracle — buckets derive from fnv-seeded hyperplanes DuckDB can't
+    * reproduce in SQL. */
+  def qSimSearchLsh(spark: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.load(spark, dir, "embeddings")
+    Similarity.lshTopK(
+        emb.filter(col("vec_id") < 10),
+        emb.filter(col("vec_id") >= 10),
+        "vec_id", "embedding", k = 3)
+      .orderBy(col("query_id"), col("rnk"))
+  }
+
+  /** Multimodal plumbing: binary media + metadata → batch feature
+    * extraction (stubbed codec) → per-format aggregate. Deterministic;
+    * rows-only oracle (binary pipeline not expressible in DuckDB). */
+  def qMultimodal(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.load(spark, dir, "documents")
+    val media = Multimodal.mediaFromDocuments(docs)
+    val feats = Multimodal.extractFeatures(media)
+    feats.toDF()
+      .groupBy(col("format"))
+      .agg(
+        count(lit(1)).as("n_media"),
+        sum(col("n_bytes")).as("total_bytes"),
+        Parity.dsum(element_at(col("features"), 1).cast("double"), 3).as("sum_f0"))
+      .orderBy(col("format"))
+  }
+
+  /** SimHash near-dup surface: per-doc fingerprint + simhash, plus pairwise
+    * hamming counts — deterministic, rows-only oracle. */
+  def qTextFingerprints(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.load(spark, dir, "documents")
+    docs.select(
+        col("doc_id"),
+        TextAnalysis.fingerprint64(col("text")).as("fp64"),
+        TextAnalysis.simhash64(col("text")).as("simhash"))
+      .orderBy(col("doc_id"))
+  }
+}

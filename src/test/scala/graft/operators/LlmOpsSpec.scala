@@ -1,0 +1,105 @@
+package graft.operators
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** Behavioral tests for the LLM-pipeline operators on injected cases (the
+  * synthetic corpus has no natural near-dups, so we create some). */
+class LlmOpsSpec extends SparkSpec {
+
+  private lazy val docs = {
+    import spark.implicits._
+    Seq(
+      (1L, "the quick brown fox jumps over the lazy dog near the river bank today"),
+      (2L, "the quick brown fox jumps over the lazy dog near the river bank tonight"), // near-dup of 1
+      (3L, "completely different content about database engines and query planning"),
+      (4L, "the quick brown fox jumps over the lazy dog near the river bank today"), // exact dup of 1
+      (5L, "short text")
+    ).toDF("doc_id", "text")
+  }
+
+  test("exact dedup keeps one survivor per distinct text") {
+    val deduped = Dedup.exact(docs, "text", "doc_id")
+    val ids = deduped.select("doc_id").collect().map(_.getLong(0)).sorted.toSeq
+    assert(ids === Seq(1L, 2L, 3L, 5L)) // 4 collapsed into 1
+  }
+
+  test("minhash LSH finds near-dup and exact-dup pairs, skips unrelated") {
+    val pairs = Dedup.minhashPairs(docs, "text", "doc_id", threshold = 0.5)
+      .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs.contains((1L, 4L))) // exact dup
+    assert(pairs.contains((1L, 2L))) // near dup (one word differs)
+    assert(!pairs.exists { case (a, b) => a == 3L || b == 3L }) // unrelated never pairs
+  }
+
+  test("minhash clusters assign lowest-id representative") {
+    val clusters = Dedup.minhashClusters(docs, "text", "doc_id", threshold = 0.5)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getBoolean(2))).toMap
+    assert(clusters(4L) === (1L, true))
+    assert(clusters(2L) === (1L, true))
+    assert(clusters(3L) === (3L, false))
+  }
+
+  test("simhash hamming distance is small for near-dups, large for unrelated") {
+    val sh = docs.select(col("doc_id"), TextAnalysis.simhash64(col("text")).as("sh"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    def ham(a: Long, b: Long) = java.lang.Long.bitCount(a ^ b)
+    assert(ham(sh(1L), sh(4L)) === 0) // identical text → identical simhash
+    assert(ham(sh(1L), sh(2L)) <= 12, s"near-dup hamming ${ham(sh(1L), sh(2L))}")
+    assert(ham(sh(1L), sh(3L)) > 12, s"unrelated hamming ${ham(sh(1L), sh(3L))}")
+  }
+
+  test("cosine expression matches hand-computed value; LSH recall on self") {
+    import spark.implicits._
+    val vecs = Seq(
+      (1L, Array(1.0f, 0.0f, 0.0f, 0.0f)),
+      (2L, Array(0.9f, 0.1f, 0.0f, 0.0f)),
+      (3L, Array(0.0f, 0.0f, 1.0f, 0.0f))
+    ).toDF("vec_id", "embedding")
+    val sims = vecs.as("a").crossJoin(vecs.as("b"))
+      .select(col("a.vec_id").as("ia"), col("b.vec_id").as("ib"),
+        Similarity.cosine(col("a.embedding"), col("b.embedding")).as("sim"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    assert(math.abs(sims((1L, 1L)) - 1.0) < 1e-12)
+    assert(math.abs(sims((1L, 3L))) < 1e-12)
+    val expected12 = 0.9 / math.sqrt(0.9 * 0.9 + 0.1 * 0.1) // float-exact inputs
+    assert(math.abs(sims((1L, 2L)) - expected12) < 1e-6)
+    // near-dup pair detection via bucketed path (4 dims, 2 planes)
+    val nd = Similarity.cosineNearDupPairs(vecs, "vec_id", "embedding",
+      threshold = 0.95, planes = 2, dims = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // (1,2) has cosine ~0.994; same bucket not guaranteed, but if present it must be that pair
+    assert(nd.subsetOf(Set((1L, 2L))))
+  }
+
+  test("multimodal pipeline preserves ids and emits fixed-width features") {
+    import spark.implicits._
+    val d = Seq((10L, "some media payload text", "en", "src3", 23L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val feats = Multimodal.extractFeatures(Multimodal.mediaFromDocuments(d)).collect()
+    assert(feats.length === 1)
+    assert(feats(0).media_id === 10L)
+    assert(feats(0).features.length === Multimodal.FakeCodec.featureDims)
+    assert(feats(0).n_bytes === 23)
+    // determinism: same bytes → same features
+    val again = Multimodal.extractFeatures(Multimodal.mediaFromDocuments(d)).collect()
+    assert(feats(0).features.toSeq === again(0).features.toSeq)
+  }
+
+  test("text analysis expressions") {
+    import spark.implicits._
+    val t = Seq("The quick brown fox, it is fast!").toDF("text")
+    val row = t.select(
+      TextAnalysis.tokenCount(col("text")).as("n"),
+      TextAnalysis.bpeTokenCount(col("text")).as("bpe"),
+      TextAnalysis.langGuess(col("text")).as("lang"),
+      TextAnalysis.fingerprint64(col("text")).as("fp")).collect()(0)
+    assert(row.getAs[Int]("n") === 7)
+    assert(row.getAs[Long]("bpe") === 9) // 7 words + comma + bang
+    assert(row.getAs[String]("lang") === "en")
+    // fingerprint ignores whitespace noise
+    val fp2 = Seq("  The   quick brown fox,  it is fast!  ").toDF("text")
+      .select(TextAnalysis.fingerprint64(col("text"))).collect()(0).getLong(0)
+    assert(row.getAs[Long]("fp") === fp2)
+  }
+}
