@@ -57,7 +57,19 @@ object EngineSession {
     val spark = b.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     Dialect.registerAll(spark)
+    installRules(spark)
     spark
+  }
+
+  /** Inject the engine's optimizer rules (idempotent). The only custom rule
+    * is the APPX_COUNT_DISTINCT rewrite — everything else Catalyst already
+    * does (SURVEY §4). */
+  private def installRules(spark: SparkSession): Unit = {
+    val existing = spark.experimental.extraOptimizations
+    if (!existing.contains(graft.plans.AppxCountDistinctRewrite)) {
+      spark.experimental.extraOptimizations =
+        existing :+ graft.plans.AppxCountDistinctRewrite
+    }
   }
 
   /** Adopt an externally-created session (e.g. the driver's): apply the
@@ -69,6 +81,7 @@ object EngineSession {
       catch { case _: org.apache.spark.sql.AnalysisException => () } // static conf on live session
     }
     Dialect.registerAll(spark)
+    installRules(spark)
     spark
   }
 

@@ -1,7 +1,7 @@
 package graft
 import org.apache.spark.sql.{SparkSession, DataFrame}
 
-import graft.queries.{Relational, Joins, Aggregates, Windows, SetOps, FunctionCorpus, LlmOps}
+import graft.queries.{Relational, Joins, Aggregates, Windows, SetOps, FunctionCorpus, LlmOps, SourceSink}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   * One `queries` entry per implemented operator from SURVEY.md §2; every
@@ -52,7 +52,11 @@ object SparkEntry {
     "q_text_fingerprints" -> q(LlmOps.qTextFingerprints),
     "q_sim_search" -> q(LlmOps.qSimSearch),
     "q_sim_search_lsh" -> q(LlmOps.qSimSearchLsh),
-    "q_multimodal" -> q(LlmOps.qMultimodal)
+    "q_multimodal" -> q(LlmOps.qMultimodal),
+    // §2.1 sources + sinks
+    "q_json_scan" -> q(SourceSink.qJsonScan),
+    "q_csv_scan" -> q(SourceSink.qCsvScan),
+    "q_sink_roundtrip" -> q(SourceSink.qSinkRoundtrip)
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -84,7 +88,10 @@ object SparkEntry {
     "q_fn_cond" -> FunctionCorpus.qFnCondSql,
     "q_dedup_exact" -> LlmOps.qDedupExactSql,
     "q_text_stats" -> LlmOps.qTextStatsSql,
-    "q_sim_search" -> LlmOps.qSimSearchSql
+    "q_sim_search" -> LlmOps.qSimSearchSql,
+    "q_json_scan" -> SourceSink.qJsonScanSql,
+    "q_csv_scan" -> SourceSink.qCsvScanSql,
+    "q_sink_roundtrip" -> SourceSink.qSinkRoundtripSql
     // q_dedup_minhash / q_text_fingerprints / q_sim_search_lsh / q_multimodal:
     // hash-seeded operators DuckDB SQL can't reproduce — rows-only checks.
   )

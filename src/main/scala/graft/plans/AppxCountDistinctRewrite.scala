@@ -1,0 +1,33 @@
+package graft.plans
+
+import org.apache.spark.sql.catalyst.expressions.aggregate.{AggregateExpression, Complete, Count, HyperLogLogPlusPlus}
+import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, LogicalPlan}
+import org.apache.spark.sql.catalyst.rules.Rule
+
+/** The one custom optimizer rule this engine needs (SURVEY §7 step 7):
+  * Impala's `SET APPX_COUNT_DISTINCT=true` query option
+  * (be/src/service/query-options.cc) transparently evaluates
+  * `COUNT(DISTINCT x)` as `ndv(x)` — trading exactness for a
+  * shuffle-free sketch aggregation.
+  *
+  * Same trade here: HLL++ replaces the two-phase distinct expansion, so a
+  * 100 TB count-distinct stops shuffling the distinct keys and ships
+  * fixed-size sketches instead. Gated on a session conf so default
+  * semantics stay exact.
+  */
+object AppxCountDistinctRewrite extends Rule[LogicalPlan] {
+
+  val ConfKey = "spark.graft.appxCountDistinct"
+
+  override def apply(plan: LogicalPlan): LogicalPlan =
+    if (!conf.getConfString(ConfKey, "false").toBoolean) plan
+    else plan transform {
+      case agg: Aggregate =>
+        agg.transformExpressions {
+          case ae @ AggregateExpression(Count(Seq(child)), Complete, true, _, _) =>
+            ae.copy(
+              aggregateFunction = HyperLogLogPlusPlus(child),
+              isDistinct = false)
+        }
+    }
+}

@@ -1,0 +1,99 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+import graft.sources.Formats
+import graft.sinks.TableSink
+import Parity._
+
+/** Source/sink roundtrip catalog entries: each writes a deterministic
+  * fixture derived from a parquet table, reads it back through the format
+  * under test, and aggregates — the DuckDB oracle computes the same
+  * aggregate straight from the parquet table, so any loss or corruption in
+  * the roundtrip breaks the hash match. */
+object SourceSink {
+
+  /** JSON scan (the fork's signature feature): nested structs (user, props)
+    * declared-schema read of an NDJSON fixture. */
+  def qJsonScan(spark: SparkSession, dir: String): DataFrame = {
+    val events = Tables.load(spark, dir, "events")
+    val path = Formats.ensureJsonFixture(spark, events, dir)
+    Formats.readJson(spark, path, Formats.eventsJsonSchema)
+      .groupBy(col("event_type"))
+      .agg(
+        count(lit(1)).as("n"),
+        dsum(col("value")).as("sum_value"),
+        sum(col("props.k")).as("sum_k"),
+        max(col("user.id")).as("max_user"),
+        sum(col("user.shard")).as("sum_shard"),
+        min(col("ts_us")).as("min_ts_us"))
+      .orderBy(col("event_type"))
+  }
+
+  val qJsonScanSql: String = s"""
+    SELECT event_type,
+           COUNT(*) AS n,
+           ${dsumSql("value")} AS sum_value,
+           SUM(CAST(json_extract_string(props, '$$.k') AS INT)) AS sum_k,
+           MAX(user_id) AS max_user,
+           SUM(user_id % 97) AS sum_shard,
+           MIN(epoch_us(ts)) AS min_ts_us
+    FROM events
+    GROUP BY event_type
+    ORDER BY event_type"""
+
+  /** Delimited-text scan with '|' row format (reference text scanner
+    * option surface). */
+  def qCsvScan(spark: SparkSession, dir: String): DataFrame = {
+    val nation = Tables.load(spark, dir, "nation")
+    val path = Formats.ensureCsvFixture(spark, nation, dir)
+    val schema = org.apache.spark.sql.types.StructType.fromDDL(
+      "n_nationkey INT, n_name STRING, n_regionkey INT")
+    Formats.readDelimited(spark, path, schema, delimiter = "|")
+      .groupBy(col("n_regionkey"))
+      .agg(count(lit(1)).as("n"), min(col("n_name")).as("first_nation"))
+      .orderBy(col("n_regionkey"))
+  }
+
+  val qCsvScanSql: String = """
+    SELECT n_regionkey, COUNT(*) AS n, MIN(n_name) AS first_nation
+    FROM nation
+    GROUP BY n_regionkey
+    ORDER BY n_regionkey"""
+
+  /** Sink path: partitioned INSERT OVERWRITE + dynamic-partition overwrite
+    * of one partition, then read-back aggregate. The oracle computes the
+    * expected end-state directly: 'O' rows doubled, others untouched. */
+  def qSinkRoundtrip(spark: SparkSession, dir: String): DataFrame = {
+    val orders = Tables.load(spark, dir, "orders")
+    val tag = dir.replaceAll("[^a-zA-Z0-9.]", "_")
+    val path = s"target/tmp/sink_orders_$tag"
+    // step 1: full partitioned overwrite (INSERT OVERWRITE)
+    TableSink.insertOverwrite(orders, path, Seq("o_orderstatus"))
+    // step 2: dynamic overwrite of just the 'O' partition with doubled price
+    TableSink.insertOverwriteDynamic(
+      orders.filter(col("o_orderstatus") === "O")
+        .withColumn("o_totalprice", col("o_totalprice") * 2),
+      path, Seq("o_orderstatus"))
+    // step 3: read back and verify the merged end-state
+    TableSink.read(spark, path)
+      .groupBy(col("o_orderstatus"))
+      .agg(
+        count(lit(1)).as("n"),
+        dsum(col("o_totalprice")).as("sum_price"),
+        countDistinct(col("o_orderkey")).as("n_keys"))
+      .orderBy(col("o_orderstatus"))
+  }
+
+  val qSinkRoundtripSql: String = """
+    SELECT o_orderstatus,
+           COUNT(*) AS n,
+           CAST(SUM(CAST(CASE WHEN o_orderstatus = 'O' THEN o_totalprice * 2
+                              ELSE o_totalprice END AS DECIMAL(28,2))) AS DOUBLE) AS sum_price,
+           COUNT(DISTINCT o_orderkey) AS n_keys
+    FROM orders
+    GROUP BY o_orderstatus
+    ORDER BY o_orderstatus"""
+}

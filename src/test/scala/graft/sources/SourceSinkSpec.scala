@@ -1,0 +1,85 @@
+package graft.sources
+
+import graft.{Ddl, SparkSpec}
+import graft.sinks.TableSink
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.StructType
+
+class SourceSinkSpec extends SparkSpec {
+
+  private def tmp(name: String): String = {
+    val d = java.nio.file.Files.createTempDirectory(s"graft_$name").toFile
+    d.deleteOnExit()
+    d.getAbsolutePath
+  }
+
+  test("JSON permissive mode tolerates malformed records (reference abort_on_error=false)") {
+    val dir = tmp("json")
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(s"$dir/data.json"),
+      """{"id": 1, "v": {"k": 10}}
+        |this is not json at all
+        |{"id": 2, "v": {"k": 20}}
+        |{"id": 3, "v": "wrong shape"}
+        |""".stripMargin)
+    val schema = StructType.fromDDL("id BIGINT, v STRUCT<k: INT>")
+    val df = Formats.readJson(spark, dir, schema)
+    val good = df.filter(col("v.k").isNotNull).collect()
+    assert(good.map(_.getLong(0)).sorted.toSeq === Seq(1L, 2L))
+    assert(df.count() === 4) // malformed rows surface as null rows, scan never fails
+  }
+
+  test("nested JSON roundtrip preserves struct values") {
+    import spark.implicits._
+    val dir = tmp("json_rt")
+    val src = Seq((1L, ("a", 10)), (2L, ("b", 20))).toDF("id", "pair")
+      .select(col("id"), struct(col("pair._1").as("s"), col("pair._2").as("n")).as("nested"))
+    src.write.mode("overwrite").json(dir)
+    val back = Formats.readJson(spark, dir, StructType.fromDDL("id BIGINT, nested STRUCT<s: STRING, n: INT>"))
+    assert(back.orderBy("id").collect().map(r => (r.getLong(0), r.getStruct(1).getString(0))).toSeq
+      === Seq((1L, "a"), (2L, "b")))
+  }
+
+  test("dynamic partition overwrite replaces only incoming partitions") {
+    import spark.implicits._
+    val dir = tmp("sink")
+    val base = Seq((1, "a"), (2, "a"), (3, "b"), (4, "c")).toDF("id", "p")
+    TableSink.insertOverwrite(base, dir, Seq("p"))
+    // dynamic overwrite touching only partition 'a'
+    TableSink.insertOverwriteDynamic(Seq((9, "a")).toDF("id", "p"), dir, Seq("p"))
+    val back = TableSink.read(spark, dir).collect().map(r => (r.getInt(0), r.getString(1))).toSet
+    assert(back === Set((9, "a"), (3, "b"), (4, "c"))) // b,c untouched; a replaced
+    // append (INSERT INTO)
+    TableSink.insertInto(Seq((7, "b")).toDF("id", "p"), dir, Seq("p"))
+    assert(TableSink.read(spark, dir).count() === 4)
+  }
+
+  test("CREATE TABLE LIKE PARQUET lifts the footer schema; COMPUTE STATS runs") {
+    import spark.implicits._
+    val dir = tmp("like_parquet")
+    Seq((1L, "x", 1.5)).toDF("id", "name", "score").write.mode("overwrite").parquet(dir)
+    spark.sql("DROP TABLE IF EXISTS like_t")
+    Ddl.createTableLikeParquet(spark, "like_t", dir)
+    val schema = spark.table("like_t").schema
+    assert(schema.fieldNames.toSeq === Seq("id", "name", "score"))
+    Ddl.computeStats(spark, "like_t")
+    assert(Ddl.describe(spark, "like_t").count() > 0)
+    spark.sql("DROP TABLE like_t")
+  }
+
+  test("APPX_COUNT_DISTINCT rewrite swaps exact distinct for HLL++ when enabled") {
+    import spark.implicits._
+    val df = (1 to 5000).map(i => i % 1000).toDF("x")
+    df.createOrReplaceTempView("acd_t")
+    val exact = spark.sql("SELECT count(DISTINCT x) FROM acd_t").collect()(0).getLong(0)
+    assert(exact === 1000)
+    spark.conf.set(graft.plans.AppxCountDistinctRewrite.ConfKey, "true")
+    try {
+      val appx = spark.sql("SELECT count(DISTINCT x) FROM acd_t").collect()(0).getLong(0)
+      assert(math.abs(appx - 1000) <= 50 && appx != 0, s"appx=$appx")
+      // plan no longer contains an exact distinct expansion
+      val plan = spark.sql("SELECT count(DISTINCT x) FROM acd_t").queryExecution.optimizedPlan.toString
+      assert(plan.contains("approx_count_distinct") || !plan.contains("distinct"), plan)
+    } finally spark.conf.set(graft.plans.AppxCountDistinctRewrite.ConfKey, "false")
+  }
+}
