@@ -79,12 +79,15 @@ object TextAnalysis {
     call_function("fnv_hash", regexp_replace(lower(trim(text)), "\\s+", " "))
 
   /** SimHash-64: per-bit majority vote of token-hash bits, weighted by
-    * token frequency — near-identical texts land within a few bits. */
+    * token frequency — near-identical texts land within a few bits.
+    * Token hashes are materialized ONCE (`transform` → array<long>), then
+    * the 64 bit-votes fold over the precomputed longs; hashing per bit
+    * would cost 64× the string hashing for the same result. */
   def simhash64(text: Column): Column = {
-    val toks = tokens(lower(text))
+    val tokHashes = transform(tokens(lower(text)), t => xxhash64(t))
     val bits = (0 until 64).map { b =>
-      val vote = aggregate(toks, lit(0),
-        (acc, tok) => acc + when(shiftright(xxhash64(tok), b).bitwiseAND(1) === 1, 1).otherwise(-1))
+      val vote = aggregate(tokHashes, lit(0),
+        (acc, h) => acc + when(shiftright(h, b).bitwiseAND(1) === 1, 1).otherwise(-1))
       when(vote >= 0, lit(1L << b)).otherwise(lit(0L))
     }
     bits.reduce(_ + _)
@@ -92,4 +95,23 @@ object TextAnalysis {
 
   /** Hamming distance between two 64-bit simhashes. */
   def hamming64(a: Column, b: Column): Column = bit_count(a.bitwiseXOR(b))
+
+  /** Bulk simhash as a relational plan: token explode → codegen'd hash-agg
+    * of 64 bit-votes → bit-pack. Same result as [[simhash64]] but the
+    * per-token loop runs inside whole-stage codegen with map-side partial
+    * aggregation (the Column form's higher-order functions evaluate
+    * interpreted — fine for a few rows, wrong for a corpus scan). */
+  def simhashTable(docs: org.apache.spark.sql.DataFrame, textCol: String, idCol: String): org.apache.spark.sql.DataFrame = {
+    val toks = split(lower(trim(col(textCol))), "\\s+")
+    val hashed = docs
+      .select(col(idCol).as("doc_id"), explode(toks).as("tok"))
+      .withColumn("h", xxhash64(col("tok")))
+    val votes = (0 until 64).map(b =>
+      sum(when(shiftright(col("h"), b).bitwiseAND(1) === 1, 1).otherwise(-1)).as(s"v$b"))
+    hashed.groupBy(col("doc_id"))
+      .agg(votes.head, votes.tail: _*)
+      .select(col("doc_id"),
+        (0 until 64).map(b => when(col(s"v$b") >= 0, lit(1L << b)).otherwise(lit(0L)))
+          .reduce(_ + _).as("simhash"))
+  }
 }

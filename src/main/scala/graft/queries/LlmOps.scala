@@ -157,14 +157,14 @@ object LlmOps {
       .orderBy(col("format"))
   }
 
-  /** SimHash near-dup surface: per-doc fingerprint + simhash, plus pairwise
-    * hamming counts — deterministic, rows-only oracle. */
+  /** SimHash near-dup surface: per-doc fingerprint + simhash (bulk
+    * relational path) — deterministic, rows-only oracle. */
   def qTextFingerprints(spark: SparkSession, dir: String): DataFrame = {
     val docs = Tables.load(spark, dir, "documents")
     docs.select(
         col("doc_id"),
-        TextAnalysis.fingerprint64(col("text")).as("fp64"),
-        TextAnalysis.simhash64(col("text")).as("simhash"))
+        TextAnalysis.fingerprint64(col("text")).as("fp64"))
+      .join(TextAnalysis.simhashTable(docs, "text", "doc_id"), Seq("doc_id"))
       .orderBy(col("doc_id"))
   }
 }

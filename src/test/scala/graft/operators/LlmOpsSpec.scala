@@ -49,6 +49,23 @@ class LlmOpsSpec extends SparkSpec {
     assert(ham(sh(1L), sh(3L)) > 12, s"unrelated hamming ${ham(sh(1L), sh(3L))}")
   }
 
+  test("relational simhashTable agrees with the Column-level simhash64") {
+    val colVersion = docs.select(col("doc_id"), TextAnalysis.simhash64(col("text")).as("sh"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val tblVersion = TextAnalysis.simhashTable(docs, "text", "doc_id")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(colVersion === tblVersion)
+  }
+
+  test("relational shingleTable agrees with the Column-level shingles") {
+    val colVersion = docs.select(col("doc_id"), Dedup.shingles(col("text")).as("sh"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[String](1).toSet).toMap
+    val tblVersion = Dedup.shingleTable(docs, "text", "doc_id")
+      .groupBy("doc_id").agg(collect_set(col("sh")).as("sh"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[String](1).toSet).toMap
+    assert(colVersion === tblVersion)
+  }
+
   test("cosine expression matches hand-computed value; LSH recall on self") {
     import spark.implicits._
     val vecs = Seq(
