@@ -1,7 +1,7 @@
 package graft
 import org.apache.spark.sql.{SparkSession, DataFrame}
 
-import graft.queries.{Relational, Joins, Aggregates, Windows, SetOps, FunctionCorpus, LlmOps, SourceSink}
+import graft.queries.{Relational, Joins, Aggregates, Windows, SetOps, FunctionCorpus, LlmOps, SourceSink, TpchShapes}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   * One `queries` entry per implemented operator from SURVEY.md §2; every
@@ -56,7 +56,17 @@ object SparkEntry {
     // §2.1 sources + sinks
     "q_json_scan" -> q(SourceSink.qJsonScan),
     "q_csv_scan" -> q(SourceSink.qCsvScan),
-    "q_sink_roundtrip" -> q(SourceSink.qSinkRoundtrip)
+    "q_sink_roundtrip" -> q(SourceSink.qSinkRoundtrip),
+    // TPC-H shape battery + events time series
+    "q4_exists_agg" -> q(TpchShapes.q4Exists),
+    "q6_filter_agg" -> q(TpchShapes.q6FilterAgg),
+    "q10_returned" -> q(TpchShapes.q10Returned),
+    "q13_distribution" -> q(TpchShapes.q13Distribution),
+    "q14_promo" -> q(TpchShapes.q14Promo),
+    "q18_large_orders" -> q(TpchShapes.q18LargeOrders),
+    "q_topn_offset" -> q(TpchShapes.qTopnOffset),
+    "q_events_timeseries" -> q(TpchShapes.qEventsTimeseries),
+    "q_fn_cast" -> q(FunctionCorpus.qFnCast)
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -91,7 +101,16 @@ object SparkEntry {
     "q_sim_search" -> LlmOps.qSimSearchSql,
     "q_json_scan" -> SourceSink.qJsonScanSql,
     "q_csv_scan" -> SourceSink.qCsvScanSql,
-    "q_sink_roundtrip" -> SourceSink.qSinkRoundtripSql
+    "q_sink_roundtrip" -> SourceSink.qSinkRoundtripSql,
+    "q4_exists_agg" -> TpchShapes.q4ExistsSql,
+    "q6_filter_agg" -> TpchShapes.q6FilterAggSql,
+    "q10_returned" -> TpchShapes.q10ReturnedSql,
+    "q13_distribution" -> TpchShapes.q13DistributionSql,
+    "q14_promo" -> TpchShapes.q14PromoSql,
+    "q18_large_orders" -> TpchShapes.q18LargeOrdersSql,
+    "q_topn_offset" -> TpchShapes.qTopnOffsetSql,
+    "q_events_timeseries" -> TpchShapes.qEventsTimeseriesSql,
+    "q_fn_cast" -> FunctionCorpus.qFnCastSql
     // q_dedup_minhash / q_text_fingerprints / q_sim_search_lsh / q_multimodal:
     // hash-seeded operators DuckDB SQL can't reproduce — rows-only checks.
   )

@@ -100,7 +100,21 @@ object ImpalaFunctions {
       ArrayJoin(
         Cast(new ApproximatePercentile(e, pcts).toAggregateExpression(), ArrayType(StringType)),
         Literal(", "), None)
-    }
+    },
+    // sample(x): deterministic bottom-k-by-hash reservoir (see SampleAgg).
+    "sample" -> { case Seq(e) => new SampleAgg(Cast(e, StringType)) },
+
+    // ---- madlib vector interop (udf-builtins.h:558) → ArrayType ops ----
+    "madlib_vector" -> { es => CreateArray(es.map(Cast(_, DoubleType))) },
+    "madlib_vector_get" -> { case Seq(i, v) =>
+      // madlib is 0-indexed; element_at is 1-indexed
+      ElementAt(v, Add(Cast(i, IntegerType), Literal(1)))
+    },
+    "madlib_encode_vector" -> { case Seq(v) => ArrayJoin(Cast(v, ArrayType(StringType)), Literal(","), None) },
+    "madlib_decode_vector" -> { case Seq(s) =>
+      Cast(StringSplit(s, Literal(","), Literal(-1)), ArrayType(DoubleType))
+    },
+    "madlib_print_vector" -> { case Seq(v) => ArrayJoin(Cast(v, ArrayType(StringType)), Literal(","), None) }
   )
 
   private def tsAdd(unit: String): Builder = { case Seq(t, n) => TimestampAdd(unit, n, t) }

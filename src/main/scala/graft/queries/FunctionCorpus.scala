@@ -151,6 +151,54 @@ object FunctionCorpus {
       WHERE l_orderkey <= 300
       ORDER BY l_orderkey, l_linenumber"""
 
+  // ------------------------------------------------------------------ cast
+  // Impala-style cast semantics under ansi=false (reference:
+  // cast-functions.cc): invalid string→number is NULL (DuckDB mirrors via
+  // TRY_CAST), double→int truncates toward zero (DuckDB rounds, mirrored
+  // via trunc()). Double→decimal stays at the value's exact scale — a
+  // narrowing decimal cast hits .xx5 midpoints where Spark (decimal-string
+  // HALF_UP) and DuckDB (binary round-nearest) legitimately disagree.
+  def qFnCast(spark: SparkSession, dir: String): DataFrame =
+    run(spark, dir, """
+      SELECT c_custkey,
+             CAST(c_acctbal AS INT)                        AS d2i,
+             CAST(c_acctbal AS BIGINT)                     AS d2l,
+             CAST(c_custkey AS STRING)                     AS l2s,
+             CAST(CAST(c_custkey AS STRING) AS BIGINT)     AS s2l,
+             CAST(concat(CAST(c_custkey AS STRING), '.25') AS DOUBLE) AS s2d,
+             CAST('oops' AS INT)                           AS bad2i,
+             CAST(CAST('12.9' AS DOUBLE) AS INT)           AS sd2i,
+             CAST(c_nationkey AS SMALLINT)                 AS i2s16,
+             CAST(c_nationkey AS TINYINT)                  AS i2s8,
+             CAST(c_acctbal AS DECIMAL(28,2))              AS d2dec,
+             CAST(c_acctbal AS STRING)                     AS d2s,
+             CAST(c_custkey % 2 AS BOOLEAN)                AS i2b,
+             CAST('true' AS BOOLEAN)                       AS s2b,
+             CAST(CAST('1997-05-05' AS TIMESTAMP_NTZ) AS DATE) AS s2dt
+      FROM customer
+      WHERE c_custkey <= 300
+      ORDER BY c_custkey""")
+
+  val qFnCastSql: String = """
+      SELECT c_custkey,
+             CAST(trunc(c_acctbal) AS INT)                 AS d2i,
+             CAST(trunc(c_acctbal) AS BIGINT)              AS d2l,
+             CAST(c_custkey AS VARCHAR)                    AS l2s,
+             CAST(CAST(c_custkey AS VARCHAR) AS BIGINT)    AS s2l,
+             CAST(concat(CAST(c_custkey AS VARCHAR), '.25') AS DOUBLE) AS s2d,
+             TRY_CAST('oops' AS INT)                       AS bad2i,
+             CAST(trunc(TRY_CAST('12.9' AS DOUBLE)) AS INT) AS sd2i,
+             CAST(c_nationkey AS SMALLINT)                 AS i2s16,
+             CAST(c_nationkey AS TINYINT)                  AS i2s8,
+             CAST(c_acctbal AS DECIMAL(28,2))              AS d2dec,
+             CAST(c_acctbal AS VARCHAR)                    AS d2s,
+             CAST(c_custkey % 2 AS BOOLEAN)                AS i2b,
+             CAST('true' AS BOOLEAN)                       AS s2b,
+             CAST(TIMESTAMP '1997-05-05 00:00:00' AS DATE) AS s2dt
+      FROM customer
+      WHERE c_custkey <= 300
+      ORDER BY c_custkey"""
+
   // ------------------------------------------------------------- timestamp
   def qFnDate(spark: SparkSession, dir: String): DataFrame =
     run(spark, dir, """

@@ -81,6 +81,42 @@ class DialectSpec extends SparkSpec {
     assert(hist.split(", ").length === 11)
   }
 
+  test("sample aggregate: deterministic bottom-k-by-hash reservoir") {
+    import spark.implicits._
+    (1 to 1000).map(_.toString).toDF("x").repartition(7).createOrReplaceTempView("sample_t")
+    val s1 = spark.sql("SELECT sample(x) FROM sample_t").collect()(0).getString(0)
+    assert(s1.split(", ").length === graft.functions.SampleAgg.K)
+    // deterministic across partitionings
+    (1 to 1000).map(_.toString).toDF("x").repartition(3).createOrReplaceTempView("sample_t2")
+    val s2 = spark.sql("SELECT sample(x) FROM sample_t2").collect()(0).getString(0)
+    assert(s1 === s2)
+    // small group returns all values
+    assert(spark.sql("SELECT sample(CAST(c AS STRING)) FROM VALUES ('a'),('b') t(c)")
+      .collect()(0).getString(0).split(", ").toSet === Set("a", "b"))
+  }
+
+  test("madlib vector aliases map onto ArrayType ops") {
+    assert(sql1("madlib_vector_get(1, madlib_vector(1.5, 2.5, 3.5))") === 2.5)
+    assert(sql1("madlib_encode_vector(madlib_vector(1.5, 2.5))") === "1.5,2.5")
+    assert(sql1("madlib_vector_get(0, madlib_decode_vector('9.5,8.5'))") === 9.5)
+    assert(sql1("madlib_print_vector(madlib_vector(1.0, 2.0))") === "1.0,2.0")
+  }
+
+  test("broadcast hint surface maps to a broadcast join plan") {
+    import spark.implicits._
+    (1 to 100).map(i => (i, s"v$i")).toDF("k", "v").createOrReplaceTempView("hint_big")
+    (1 to 5).map(i => (i, s"d$i")).toDF("k", "d").createOrReplaceTempView("hint_small")
+    val plan = spark.sql(
+      "SELECT /*+ BROADCAST(hint_small) */ * FROM hint_big JOIN hint_small USING (k)")
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"), plan)
+    // and SHUFFLE_HASH forces the shuffle variant (reference [shuffle] hint)
+    val plan2 = spark.sql(
+      "SELECT /*+ SHUFFLE_HASH(hint_small) */ * FROM hint_big JOIN hint_small USING (k)")
+      .queryExecution.executedPlan.toString
+    assert(plan2.contains("ShuffledHashJoin"), plan2)
+  }
+
   test("builtin distributed stddev/variance agree with single-node formula") {
     import spark.implicits._
     val xs = (1 to 10000).map(_.toDouble)
