@@ -66,6 +66,7 @@ object SparkEntry {
     "q18_large_orders" -> q(TpchShapes.q18LargeOrders),
     "q_topn_offset" -> q(TpchShapes.qTopnOffset),
     "q_events_timeseries" -> q(TpchShapes.qEventsTimeseries),
+    "q_sessionize" -> q(TpchShapes.qSessionize),
     "q_fn_cast" -> q(FunctionCorpus.qFnCast)
   )
 
@@ -110,6 +111,7 @@ object SparkEntry {
     "q18_large_orders" -> TpchShapes.q18LargeOrdersSql,
     "q_topn_offset" -> TpchShapes.qTopnOffsetSql,
     "q_events_timeseries" -> TpchShapes.qEventsTimeseriesSql,
+    "q_sessionize" -> TpchShapes.qSessionizeSql,
     "q_fn_cast" -> FunctionCorpus.qFnCastSql
     // q_dedup_minhash / q_text_fingerprints / q_sim_search_lsh / q_multimodal:
     // hash-seeded operators DuckDB SQL can't reproduce — rows-only checks.

@@ -183,4 +183,35 @@ object TpchShapes {
     WHERE hr < TIMESTAMP '2024-01-02 00:00:00'
     GROUP BY hr, event_type
     ORDER BY hr, event_type"""
+
+  /** Gap-based sessionization (batch form of the streaming session_window
+    * operator — graft.streaming.EventStream.sessionize). Oracle mirrors the
+    * semantics with a gaps-and-islands rewrite: new session when the
+    * inter-event gap >= 6 hours. */
+  def qSessionize(spark: SparkSession, dir: String): DataFrame = {
+    val events = Tables.load(spark, dir, "events")
+    graft.streaming.EventStream.sessionize(events, gap = "6 hours", watermark = None)
+      .orderBy(col("user_id"), col("first_ts"))
+  }
+
+  val qSessionizeSql: String = """
+    WITH marked AS (
+      SELECT user_id, ts, value,
+             CASE WHEN LAG(ts) OVER w IS NULL
+                       OR ts - LAG(ts) OVER w >= INTERVAL 6 HOUR THEN 1 ELSE 0 END AS new_session
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts)),
+    numbered AS (
+      SELECT user_id, ts, value,
+             SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts
+                                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+      FROM marked)
+    SELECT user_id,
+           MIN(ts) AS first_ts,
+           MAX(ts) AS last_ts,
+           COUNT(*) AS n_events,
+           CAST(SUM(CAST(value AS DECIMAL(28,2))) AS DOUBLE) AS total_value
+    FROM numbered
+    GROUP BY user_id, session_id
+    ORDER BY user_id, first_ts"""
 }

@@ -1,0 +1,64 @@
+package graft.streaming
+
+import graft.SparkSpec
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+
+/** Streaming semantics: the incremental windowed aggregate over a bounded
+  * replay must equal the equivalent batch group-by, and sessionization
+  * must fold per-user state across micro-batches. */
+class StreamingSpec extends SparkSpec {
+
+  private def sampleEvents = {
+    import spark.implicits._
+    (0 until 100).map { i =>
+      EventStream.Event(
+        event_id = i.toLong,
+        ts = java.sql.Timestamp.valueOf(f"2024-01-01 ${i % 5}%02d:${i % 60}%02d:00"),
+        user_id = (i % 7).toLong,
+        event_type = if (i % 3 == 0) "click" else "view",
+        value = (i % 10) + 0.5)
+    }
+  }
+
+  test("streaming windowed aggregate equals batch group-by on bounded replay") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[EventStream.Event]
+    val streamed = EventStream.windowedCounts(mem.toDF())
+    val q = streamed.writeStream
+      .format("memory").queryName("win_counts").outputMode("complete").start()
+    try {
+      mem.addData(sampleEvents)
+      q.processAllAvailable()
+      val got = spark.table("win_counts")
+        .collect().map(r => (r.getTimestamp(0).toString, r.getString(1), r.getLong(2), r.getDouble(3))).toSet
+      val want = EventStream.windowedCounts(sampleEvents.toDF())
+        .collect().map(r => (r.getTimestamp(0).toString, r.getString(1), r.getLong(2), r.getDouble(3))).toSet
+      assert(got === want)
+      assert(got.nonEmpty)
+    } finally q.stop()
+  }
+
+  test("streaming sessionization equals batch session_window on bounded replay") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[EventStream.Event]
+    val q = EventStream.sessionize(mem.toDF()).writeStream
+      .format("memory").queryName("sessions").outputMode("complete").start()
+    try {
+      val (b1, b2) = sampleEvents.splitAt(60)
+      mem.addData(b1)
+      q.processAllAvailable()
+      mem.addData(b2)
+      q.processAllAvailable()
+      def key(r: org.apache.spark.sql.Row) =
+        (r.getLong(0), r.getTimestamp(1).toString, r.getTimestamp(2).toString, r.getLong(3), r.getDouble(4))
+      val got = spark.table("sessions").collect().map(key).toSet
+      val want = EventStream.sessionize(sampleEvents.toDF(), watermark = None).collect().map(key).toSet
+      assert(got === want)
+      assert(want.toSeq.map(_._4).sum === 100L) // every event lands in exactly one session
+      assert(want.map(_._1) === (0L until 7L).toSet)
+    } finally q.stop()
+  }
+}
