@@ -67,7 +67,8 @@ object SparkEntry {
     "q_topn_offset" -> q(TpchShapes.qTopnOffset),
     "q_events_timeseries" -> q(TpchShapes.qEventsTimeseries),
     "q_sessionize" -> q(TpchShapes.qSessionize),
-    "q_fn_cast" -> q(FunctionCorpus.qFnCast)
+    "q_fn_cast" -> q(FunctionCorpus.qFnCast),
+    "q_fn_decimal" -> q(FunctionCorpus.qFnDecimal)
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -112,7 +113,8 @@ object SparkEntry {
     "q_topn_offset" -> TpchShapes.qTopnOffsetSql,
     "q_events_timeseries" -> TpchShapes.qEventsTimeseriesSql,
     "q_sessionize" -> TpchShapes.qSessionizeSql,
-    "q_fn_cast" -> FunctionCorpus.qFnCastSql
+    "q_fn_cast" -> FunctionCorpus.qFnCastSql,
+    "q_fn_decimal" -> FunctionCorpus.qFnDecimalSql
     // q_dedup_minhash / q_text_fingerprints / q_sim_search_lsh / q_multimodal:
     // hash-seeded operators DuckDB SQL can't reproduce — rows-only checks.
   )

@@ -199,6 +199,41 @@ object FunctionCorpus {
       WHERE c_custkey <= 300
       ORDER BY c_custkey"""
 
+  // --------------------------------------------------------------- decimal
+  // Decimal arithmetic parity (reference: decimal-operators.cc + Impala
+  // precision/scale propagation, fe/.../analysis/TypesUtil.java). The
+  // corpus sticks to EXACT ops (+, -, *, %, sum, exact-scale casts) where
+  // Spark and DuckDB agree bit-for-bit despite different precision
+  // propagation rules; decimal DIVISION intermediate scales legitimately
+  // differ between engines (Spark pads to max(6,s1+s2+1), DuckDB keeps
+  // dividend-based scale) and is exercised via double division instead.
+  def qFnDecimal(spark: SparkSession, dir: String): DataFrame =
+    run(spark, dir, """
+      SELECT l_orderkey, l_linenumber,
+             CAST(l_extendedprice AS DECIMAL(12,2)) + CAST(l_tax AS DECIMAL(8,2))    AS dadd,
+             CAST(l_extendedprice AS DECIMAL(12,2)) - CAST(l_discount AS DECIMAL(8,2)) AS dsub,
+             CAST(CAST(l_quantity AS DECIMAL(10,2)) * CAST(l_discount AS DECIMAL(8,2)) AS DECIMAL(20,4)) AS dmul,
+             CAST(l_extendedprice AS DECIMAL(12,2)) % CAST(7 AS DECIMAL(4,0))        AS dmod,
+             CAST(CAST(l_extendedprice AS DECIMAL(12,2)) AS STRING)                  AS dstr,
+             CAST(CAST(l_quantity AS DECIMAL(10,3)) AS DECIMAL(20,5))                AS dwiden,
+             CAST(-l_extendedprice AS DECIMAL(14,2))                                 AS dneg
+      FROM lineitem
+      WHERE l_orderkey <= 400
+      ORDER BY l_orderkey, l_linenumber""")
+
+  val qFnDecimalSql: String = """
+      SELECT l_orderkey, l_linenumber,
+             CAST(l_extendedprice AS DECIMAL(12,2)) + CAST(l_tax AS DECIMAL(8,2))    AS dadd,
+             CAST(l_extendedprice AS DECIMAL(12,2)) - CAST(l_discount AS DECIMAL(8,2)) AS dsub,
+             CAST(CAST(l_quantity AS DECIMAL(10,2)) * CAST(l_discount AS DECIMAL(8,2)) AS DECIMAL(20,4)) AS dmul,
+             CAST(l_extendedprice AS DECIMAL(12,2)) % CAST(7 AS DECIMAL(4,0))        AS dmod,
+             CAST(CAST(l_extendedprice AS DECIMAL(12,2)) AS VARCHAR)                 AS dstr,
+             CAST(CAST(l_quantity AS DECIMAL(10,3)) AS DECIMAL(20,5))                AS dwiden,
+             CAST(-l_extendedprice AS DECIMAL(14,2))                                 AS dneg
+      FROM lineitem
+      WHERE l_orderkey <= 400
+      ORDER BY l_orderkey, l_linenumber"""
+
   // ------------------------------------------------------------- timestamp
   def qFnDate(spark: SparkSession, dir: String): DataFrame =
     run(spark, dir, """

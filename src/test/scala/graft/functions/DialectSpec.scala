@@ -81,6 +81,33 @@ class DialectSpec extends SparkSpec {
     assert(hist.split(", ").length === 11)
   }
 
+  test("string/url/number-base builtins match reference goldens (expr-test shapes)") {
+    val url = "http://usr:pw@example.com:8080/docs/books/index.html?name=networking#DOWN"
+    assert(sql1(s"parse_url('$url', 'HOST')") === "example.com")
+    assert(sql1(s"parse_url('$url', 'PATH')") === "/docs/books/index.html")
+    assert(sql1(s"parse_url('$url', 'QUERY')") === "name=networking")
+    assert(sql1(s"parse_url('$url', 'REF')") === "DOWN")
+    assert(sql1(s"parse_url('$url', 'PROTOCOL')") === "http")
+    assert(sql1(s"parse_url('$url', 'QUERY', 'name')") === "networking")
+    assert(sql1("conv('ff', 16, 10)") === "255")
+    assert(sql1("conv(255, 10, 16)") === "FF")
+    assert(sql1("bin(13)") === "1101")
+    assert(sql1("hex(255)") === "FF")
+    assert(sql1("unhex('4D')") === Array(0x4d.toByte))
+    assert(sql1("initcap('hello wORLD')") === "Hello World")
+    assert(sql1("chr(65)") === "A")
+    assert(sql1("char_length('héllo')") === 5)
+    assert(sql1("find_in_set('b', 'a,b,c')") === 2)
+    assert(sql1("regexp_extract('abc123def', '([0-9]+)', 1)") === "123")
+    assert(sql1("regexp_replace('foo bar', '\\\\s+', '_')") === "foo_bar")
+    assert(sql1("from_utc_timestamp(TIMESTAMP_NTZ '2024-06-01 12:00:00', 'America/New_York')").toString
+      === "2024-06-01 08:00:00.0")
+    assert(sql1("to_utc_timestamp(TIMESTAMP_NTZ '2024-06-01 08:00:00', 'America/New_York')").toString
+      === "2024-06-01 12:00:00.0")
+    assert(sql1("extract(YEAR FROM DATE '2024-03-05')") === 2024)
+    assert(sql1("date_part('month', DATE '2024-03-05')") === 3)
+  }
+
   test("sample aggregate: deterministic bottom-k-by-hash reservoir") {
     import spark.implicits._
     (1 to 1000).map(_.toString).toDF("x").repartition(7).createOrReplaceTempView("sample_t")
