@@ -1,7 +1,7 @@
 package graft
 import org.apache.spark.sql.{SparkSession, DataFrame}
 
-import graft.queries.{Relational, Joins, Aggregates, Windows, SetOps, FunctionCorpus, LlmOps, SourceSink, TpchShapes}
+import graft.queries.{Relational, Joins, Aggregates, Windows, SetOps, FunctionCorpus, LlmOps, SourceSink, TpchShapes, TpchShapes2}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   * One `queries` entry per implemented operator from SURVEY.md §2; every
@@ -68,7 +68,18 @@ object SparkEntry {
     "q_events_timeseries" -> q(TpchShapes.qEventsTimeseries),
     "q_sessionize" -> q(TpchShapes.qSessionize),
     "q_fn_cast" -> q(FunctionCorpus.qFnCast),
-    "q_fn_decimal" -> q(FunctionCorpus.qFnDecimal)
+    "q_fn_decimal" -> q(FunctionCorpus.qFnDecimal),
+    "q7_nation_volume" -> q(TpchShapes2.q7NationVolume),
+    "q8_market_share" -> q(TpchShapes2.q8MarketShare),
+    "q9_profit" -> q(TpchShapes2.q9Profit),
+    "q12_priority" -> q(TpchShapes2.q12Priority),
+    "q16_supplier_count" -> q(TpchShapes2.q16SupplierCount),
+    "q17_avg_qty" -> q(TpchShapes2.q17AvgQty),
+    "q19_or_predicates" -> q(TpchShapes2.q19OrPredicates),
+    "q22_ratio" -> q(TpchShapes2.q22Ratio),
+    "q_grouping_sets" -> q(TpchShapes2.qGroupingSets),
+    "q_intersect_except" -> q(TpchShapes2.qIntersectExcept),
+    "q_fn_json" -> q(TpchShapes2.qFnJson)
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -114,7 +125,18 @@ object SparkEntry {
     "q_events_timeseries" -> TpchShapes.qEventsTimeseriesSql,
     "q_sessionize" -> TpchShapes.qSessionizeSql,
     "q_fn_cast" -> FunctionCorpus.qFnCastSql,
-    "q_fn_decimal" -> FunctionCorpus.qFnDecimalSql
+    "q_fn_decimal" -> FunctionCorpus.qFnDecimalSql,
+    "q7_nation_volume" -> TpchShapes2.q7NationVolumeSql,
+    "q8_market_share" -> TpchShapes2.q8MarketShareSql,
+    "q9_profit" -> TpchShapes2.q9ProfitSql,
+    "q12_priority" -> TpchShapes2.q12PrioritySql,
+    "q16_supplier_count" -> TpchShapes2.q16SupplierCountSql,
+    "q17_avg_qty" -> TpchShapes2.q17AvgQtySql,
+    "q19_or_predicates" -> TpchShapes2.q19OrPredicatesSql,
+    "q22_ratio" -> TpchShapes2.q22RatioSql,
+    "q_grouping_sets" -> TpchShapes2.qGroupingSetsSql,
+    "q_intersect_except" -> TpchShapes2.qIntersectExceptSql,
+    "q_fn_json" -> TpchShapes2.qFnJsonSql
     // q_dedup_minhash / q_text_fingerprints / q_sim_search_lsh / q_multimodal:
     // hash-seeded operators DuckDB SQL can't reproduce — rows-only checks.
   )

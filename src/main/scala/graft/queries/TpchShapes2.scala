@@ -1,0 +1,219 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+import Parity._
+
+/** Second TPC-H shape battery (adapted to the synthetic schema) + the
+  * set-op / grouping supersets Spark adds over the reference:
+  * Q7 nation-pair volume, Q8 market share, Q9 profit breakdown, Q12
+  * priority distribution, Q16 supplier-count distinct, Q17 avg-qty scalar
+  * subquery, Q19 OR-of-ANDs predicates, Q22 ratio-to-global; plus
+  * GROUPING SETS/ROLLUP and INTERSECT/EXCEPT (absent in the reference
+  * grammar — sql-parser.y has no rule — but table stakes for a Spark
+  * engine, so shipped and oracle-checked as supersets).
+  */
+object TpchShapes2 {
+
+  private def run(spark: SparkSession, dir: String, sql: String): DataFrame = {
+    Tables.ensureViews(spark, dir)
+    spark.sql(sql)
+  }
+
+  /** Q7 shape: shipping volume between nation pairs (two nation roles). */
+  def q7NationVolume(spark: SparkSession, dir: String): DataFrame =
+    run(spark, dir, q7NationVolumeSql)
+
+  val q7NationVolumeSql: String = """
+    SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+           year(l_shipdate) AS l_year,
+           CAST(SUM(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(28,4))) AS DOUBLE) AS volume
+    FROM lineitem
+    JOIN orders ON l_orderkey = o_orderkey
+    JOIN supplier ON l_suppkey = s_suppkey
+    JOIN customer ON o_custkey = c_custkey
+    JOIN nation n1 ON s_nationkey = n1.n_nationkey
+    JOIN nation n2 ON c_nationkey = n2.n_nationkey
+    WHERE n1.n_name IN ('NATION_1', 'NATION_2')
+      AND n2.n_name IN ('NATION_1', 'NATION_2')
+      AND n1.n_name <> n2.n_name
+      AND l_shipdate BETWEEN TIMESTAMP '1996-01-01 00:00:00' AND TIMESTAMP '1997-12-31 00:00:00'
+    GROUP BY n1.n_name, n2.n_name, year(l_shipdate)
+    ORDER BY supp_nation, cust_nation, l_year"""
+
+  /** Q8 shape: a nation's market share inside its region per year. */
+  def q8MarketShare(spark: SparkSession, dir: String): DataFrame =
+    run(spark, dir, q8MarketShareSql)
+
+  val q8MarketShareSql: String = """
+    WITH all_orders AS (
+      SELECT year(o_orderdate) AS o_year,
+             l_extendedprice * (1.0 - l_discount) AS volume,
+             n2.n_name AS supp_nation
+      FROM lineitem
+      JOIN orders ON l_orderkey = o_orderkey
+      JOIN customer ON o_custkey = c_custkey
+      JOIN nation n1 ON c_nationkey = n1.n_nationkey
+      JOIN region ON n1.n_regionkey = r_regionkey
+      JOIN supplier ON l_suppkey = s_suppkey
+      JOIN nation n2 ON s_nationkey = n2.n_nationkey
+      WHERE r_name = 'ASIA'
+        AND o_orderdate BETWEEN TIMESTAMP '1996-01-01 00:00:00' AND TIMESTAMP '1997-12-31 00:00:00')
+    SELECT o_year,
+           CAST(SUM(CAST(CASE WHEN supp_nation = 'NATION_1' THEN volume ELSE 0.0 END AS DECIMAL(28,4))) AS DOUBLE)
+             / CAST(SUM(CAST(volume AS DECIMAL(28,4))) AS DOUBLE) AS mkt_share,
+           COUNT(*) AS n
+    FROM all_orders
+    GROUP BY o_year
+    ORDER BY o_year"""
+
+  /** Q9 shape: profit (revenue minus synthetic supply cost) by nation/year. */
+  def q9Profit(spark: SparkSession, dir: String): DataFrame =
+    run(spark, dir, q9ProfitSql)
+
+  val q9ProfitSql: String = """
+    SELECT n_name, year(o_orderdate) AS o_year,
+           CAST(SUM(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(28,4))) AS DOUBLE)
+             - CAST(SUM(CAST(p_retailprice * l_quantity AS DECIMAL(28,3)) * CAST(0.6 AS DECIMAL(3,1))) AS DOUBLE) AS profit
+    FROM lineitem
+    JOIN orders ON l_orderkey = o_orderkey
+    JOIN part ON l_partkey = p_partkey
+    JOIN supplier ON l_suppkey = s_suppkey
+    JOIN nation ON s_nationkey = n_nationkey
+    WHERE p_name LIKE '%bolt%'
+    GROUP BY n_name, year(o_orderdate)
+    ORDER BY n_name, o_year"""
+
+  /** Q12 shape: order-priority distribution over a ship-date window
+    * (original buckets ship modes; the synthetic schema buckets priority). */
+  def q12Priority(spark: SparkSession, dir: String): DataFrame =
+    run(spark, dir, q12PrioritySql)
+
+  val q12PrioritySql: String = """
+    SELECT o_orderpriority,
+           SUM(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) AS finished_count,
+           SUM(CASE WHEN o_orderstatus <> 'F' THEN 1 ELSE 0 END) AS open_count
+    FROM orders
+    JOIN lineitem ON o_orderkey = l_orderkey
+    WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+      AND l_shipdate < TIMESTAMP '1998-01-01 00:00:00'
+      AND l_linenumber = 1
+    GROUP BY o_orderpriority
+    ORDER BY o_orderpriority"""
+
+  /** Q16 shape: distinct supplier count per part attribute combo. */
+  def q16SupplierCount(spark: SparkSession, dir: String): DataFrame =
+    run(spark, dir, q16SupplierCountSql)
+
+  val q16SupplierCountSql: String = """
+    SELECT p_brand, p_type, p_size, COUNT(DISTINCT l_suppkey) AS supplier_cnt
+    FROM lineitem
+    JOIN part ON l_partkey = p_partkey
+    WHERE p_brand <> 'Brand#1'
+      AND p_size IN (1, 4, 9, 16, 25, 36, 49)
+    GROUP BY p_brand, p_type, p_size
+    ORDER BY supplier_cnt DESC, p_brand, p_type, p_size"""
+
+  /** Q17 shape: small-quantity revenue vs per-part average (correlated
+    * scalar subquery → aggregated join under Catalyst). */
+  def q17AvgQty(spark: SparkSession, dir: String): DataFrame =
+    run(spark, dir, q17AvgQtySql)
+
+  val q17AvgQtySql: String = """
+    SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(28,2))) AS DOUBLE) / 7.0 AS avg_yearly,
+           COUNT(*) AS n_lines
+    FROM lineitem
+    JOIN part ON p_partkey = l_partkey
+    WHERE p_brand = 'Brand#3'
+      AND l_quantity < (SELECT 0.5 * (CAST(SUM(CAST(l2.l_quantity AS DECIMAL(28,2))) AS DOUBLE) / COUNT(*))
+                        FROM lineitem l2 WHERE l2.l_partkey = part.p_partkey)"""
+
+  /** Q19 shape: OR-of-ANDs multi-attribute predicate pushdown. */
+  def q19OrPredicates(spark: SparkSession, dir: String): DataFrame =
+    run(spark, dir, q19OrPredicatesSql)
+
+  val q19OrPredicatesSql: String = """
+    SELECT CAST(SUM(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(28,4))) AS DOUBLE) AS revenue,
+           COUNT(*) AS n
+    FROM lineitem
+    JOIN part ON p_partkey = l_partkey
+    WHERE (p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 15 AND l_quantity >= 1 AND l_quantity <= 30)
+       OR (p_brand = 'Brand#23' AND p_size BETWEEN 1 AND 25 AND l_quantity >= 10 AND l_quantity <= 35)
+       OR (p_brand = 'Brand#34' AND p_size BETWEEN 1 AND 35 AND l_quantity >= 20 AND l_quantity <= 40)"""
+
+  /** Q22 shape: per-group acctbal stats vs the global positive average. */
+  def q22Ratio(spark: SparkSession, dir: String): DataFrame =
+    run(spark, dir, q22RatioSql)
+
+  val q22RatioSql: String = """
+    SELECT c_nationkey % 5 AS cntry_bucket,
+           COUNT(*) AS numcust,
+           CAST(SUM(CAST(c_acctbal AS DECIMAL(28,2))) AS DOUBLE) AS totacctbal
+    FROM customer
+    WHERE c_acctbal > (SELECT CAST(SUM(CAST(c_acctbal AS DECIMAL(28,2))) AS DOUBLE) / COUNT(*)
+                       FROM customer WHERE c_acctbal > 0.0)
+      AND NOT EXISTS (SELECT 1 FROM orders
+                      WHERE o_custkey = c_custkey AND o_totalprice > 400000.0)
+    GROUP BY c_nationkey % 5
+    ORDER BY cntry_bucket"""
+
+  /** GROUPING SETS + ROLLUP (superset: absent from the reference grammar). */
+  def qGroupingSets(spark: SparkSession, dir: String): DataFrame =
+    run(spark, dir, qGroupingSetsSql)
+
+  val qGroupingSetsSql: String = """
+    SELECT l_returnflag, l_linestatus,
+           COUNT(*) AS n,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(28,2))) AS DOUBLE) AS sum_qty,
+           GROUPING(l_returnflag) AS g_rf, GROUPING(l_linestatus) AS g_ls
+    FROM lineitem
+    GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_returnflag), ())
+    ORDER BY g_rf, g_ls, l_returnflag, l_linestatus"""
+
+  /** INTERSECT / EXCEPT (superset: absent from the reference grammar). */
+  def qIntersectExcept(spark: SparkSession, dir: String): DataFrame =
+    run(spark, dir, qIntersectExceptSql)
+
+  val qIntersectExceptSql: String = """
+    WITH both_nations AS (
+      SELECT c_nationkey AS nk FROM customer
+      INTERSECT
+      SELECT s_nationkey FROM supplier),
+    cust_only AS (
+      SELECT c_nationkey AS nk FROM customer
+      EXCEPT
+      SELECT s_nationkey FROM supplier)
+    SELECT 'both' AS side, COUNT(*) AS n FROM both_nations
+    UNION ALL
+    SELECT 'cust_only' AS side, COUNT(*) AS n FROM cust_only
+    ORDER BY side"""
+
+  /** JSON scalar functions over the events props column (superset: the
+    * reference parses JSON at scan only, no scalar JSON functions). */
+  def qFnJson(spark: SparkSession, dir: String): DataFrame = {
+    Tables.ensureViews(spark, dir)
+    spark.sql("""
+      SELECT event_id,
+             get_json_object(props, '$.k') AS k_str,
+             CAST(get_json_object(props, '$.k') AS INT) AS k_int,
+             from_json(props, 'k INT').k AS k_struct,
+             get_json_object(props, '$.missing') AS k_missing,
+             to_json(named_struct('id', event_id, 'k', CAST(get_json_object(props, '$.k') AS INT))) AS rebuilt
+      FROM events
+      WHERE event_id <= 500
+      ORDER BY event_id""")
+  }
+
+  val qFnJsonSql: String = """
+    SELECT event_id,
+           json_extract_string(props, '$.k') AS k_str,
+           CAST(json_extract_string(props, '$.k') AS INT) AS k_int,
+           CAST(json_extract_string(props, '$.k') AS INT) AS k_struct,
+           json_extract_string(props, '$.missing') AS k_missing,
+           concat('{"id":', event_id, ',"k":', json_extract_string(props, '$.k'), '}') AS rebuilt
+    FROM events
+    WHERE event_id <= 500
+    ORDER BY event_id"""
+}
