@@ -1,0 +1,63 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** `SET` query-option mapping (reference: be/src/service/query-options.cc,
+  * 62 options). Only the options that change semantics or plan shape map
+  * to live Spark confs; pure-resource options (MEM_LIMIT and friends) are
+  * accepted and recorded but intentionally inert — executor sizing is a
+  * cluster-manager concern on Spark, not a per-query knob.
+  */
+object Options {
+
+  /** Impala option name (upper) → Spark conf + value translation. */
+  private val mapped: Map[String, String => (String, String)] = Map(
+    // COUNT(DISTINCT) → ndv sketch rewrite (the one custom optimizer rule)
+    "APPX_COUNT_DISTINCT" -> (v => (plans.AppxCountDistinctRewrite.ConfKey, v)),
+    // LLVM codegen toggle → whole-stage codegen toggle
+    "DISABLE_CODEGEN" -> (v => ("spark.sql.codegen.wholeStage", flip(v))),
+    // row-batch size → columnar reader batch size
+    "BATCH_SIZE" -> (v => ("spark.sql.parquet.columnarReaderBatchSize", v)),
+    // scan error tolerance → reader parse mode
+    "ABORT_ON_ERROR" -> (v =>
+      ("spark.sql.graft.readerMode", if (v.equalsIgnoreCase("true") || v == "1") "FAILFAST" else "PERMISSIVE")),
+    // INSERT compression codec
+    "COMPRESSION_CODEC" -> (v => ("spark.sql.parquet.compression.codec", v.toLowerCase)),
+    // single-node execution shortcut → collapse shuffle parallelism
+    "NUM_NODES" -> (v => ("spark.sql.shuffle.partitions", if (v == "1") "1" else v))
+  )
+
+  private def flip(v: String): String =
+    if (v.equalsIgnoreCase("true") || v == "1") "false" else "true"
+
+  /** Apply `SET name=value`. Unknown/resource-only options are recorded
+    * under a namespaced conf (visible, inert) like the reference records
+    * them in its per-query options struct. */
+  def set(spark: SparkSession, name: String, value: String): Unit =
+    mapped.get(name.toUpperCase) match {
+      case Some(f) =>
+        val (k, v) = f(value)
+        spark.conf.set(k, v)
+      case None =>
+        spark.conf.set(s"spark.graft.option.${name.toLowerCase}", value)
+    }
+
+  /** `SET` with no args: the current option surface. */
+  def show(spark: SparkSession): Map[String, String] =
+    spark.conf.getAll.filter { case (k, _) =>
+      k.startsWith("spark.graft.") || k.startsWith("spark.sql.")
+    }
+
+  /** EXPLAIN levels (reference: 4 levels, explain-level*.test) →
+    * Spark explain modes. */
+  def explain(df: DataFrame, level: Int): String = {
+    val mode = level match {
+      case 0 => "simple"
+      case 1 => "extended"
+      case 2 => "cost"
+      case _ => "formatted"
+    }
+    df.queryExecution.explainString(
+      org.apache.spark.sql.execution.ExplainMode.fromString(mode))
+  }
+}

@@ -1,0 +1,49 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+class OptionsSpec extends SparkSpec {
+
+  test("SET option mapping translates semantic options, records inert ones") {
+    Options.set(spark, "DISABLE_CODEGEN", "true")
+    assert(spark.conf.get("spark.sql.codegen.wholeStage") === "false")
+    Options.set(spark, "DISABLE_CODEGEN", "false")
+    assert(spark.conf.get("spark.sql.codegen.wholeStage") === "true")
+    Options.set(spark, "APPX_COUNT_DISTINCT", "true")
+    assert(spark.conf.get(plans.AppxCountDistinctRewrite.ConfKey) === "true")
+    Options.set(spark, "APPX_COUNT_DISTINCT", "false")
+    Options.set(spark, "COMPRESSION_CODEC", "SNAPPY")
+    assert(spark.conf.get("spark.sql.parquet.compression.codec") === "snappy")
+    // resource-only option is accepted but inert
+    Options.set(spark, "MEM_LIMIT", "2g")
+    assert(spark.conf.get("spark.graft.option.mem_limit") === "2g")
+    assert(Options.show(spark).contains("spark.graft.option.mem_limit"))
+  }
+
+  test("EXPLAIN levels return increasingly detailed plans") {
+    import spark.implicits._
+    val df = Seq((1, "a")).toDF("k", "v").filter(col("k") > 0)
+    val l0 = Options.explain(df, 0)
+    val l1 = Options.explain(df, 1)
+    val l3 = Options.explain(df, 3)
+    assert(l0.contains("Physical Plan"))
+    assert(l1.contains("Analyzed Logical Plan") && l1.contains("Optimized Logical Plan"))
+    assert(l3.contains("LocalTableScan") || l3.contains("Scan"))
+    assert(l1.length > l0.length)
+  }
+
+  test("CHAR(n) semantics: table columns pad on read; expression cast does not (documented delta)") {
+    // Reference CHAR is 'minimally supported' (types.h:44-47); Spark pads
+    // CHAR table columns on read but treats expression-level CHAR casts as
+    // plain string — the rpad shim gives Impala cast behavior when needed.
+    assert(sql1("CAST('ab' AS CHAR(5))") === "ab") // expression cast: no pad
+    assert(sql1("rpad(CAST('ab' AS STRING), 5, ' ')") === "ab   ")
+    spark.sql("DROP TABLE IF EXISTS char_t")
+    spark.sql("CREATE TABLE char_t (c CHAR(5)) USING parquet")
+    spark.sql("INSERT INTO char_t VALUES ('ab')")
+    assert(spark.table("char_t").collect()(0).getString(0) === "ab   ") // read-side pad
+    assert(spark.sql("SELECT length(c) FROM char_t").collect()(0).getInt(0) === 5)
+    spark.sql("DROP TABLE char_t")
+    assert(sql1("length(CAST('ab' AS VARCHAR(5)))") === 2)
+  }
+}
