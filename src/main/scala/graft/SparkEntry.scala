@@ -77,6 +77,9 @@ object SparkEntry {
     "q17_avg_qty" -> q(TpchShapes2.q17AvgQty),
     "q19_or_predicates" -> q(TpchShapes2.q19OrPredicates),
     "q22_ratio" -> q(TpchShapes2.q22Ratio),
+    "q15_top_supplier" -> q(TpchShapes2.q15TopSupplier),
+    "q20_part_suppliers" -> q(TpchShapes2.q20PartSuppliers),
+    "q21_waiting_supplier" -> q(TpchShapes2.q21WaitingSupplier),
     "q_grouping_sets" -> q(TpchShapes2.qGroupingSets),
     "q_intersect_except" -> q(TpchShapes2.qIntersectExcept),
     "q_fn_json" -> q(TpchShapes2.qFnJson)
@@ -134,6 +137,9 @@ object SparkEntry {
     "q17_avg_qty" -> TpchShapes2.q17AvgQtySql,
     "q19_or_predicates" -> TpchShapes2.q19OrPredicatesSql,
     "q22_ratio" -> TpchShapes2.q22RatioSql,
+    "q15_top_supplier" -> TpchShapes2.q15TopSupplierSql,
+    "q20_part_suppliers" -> TpchShapes2.q20PartSuppliersSql,
+    "q21_waiting_supplier" -> TpchShapes2.q21WaitingSupplierSql,
     "q_grouping_sets" -> TpchShapes2.qGroupingSetsSql,
     "q_intersect_except" -> TpchShapes2.qIntersectExceptSql,
     "q_fn_json" -> TpchShapes2.qFnJsonSql

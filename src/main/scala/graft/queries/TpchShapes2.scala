@@ -159,6 +159,66 @@ object TpchShapes2 {
     GROUP BY c_nationkey % 5
     ORDER BY cntry_bucket"""
 
+  /** Q15 shape: top supplier(s) by revenue vs the global max (view + scalar
+    * subquery over an aggregate). */
+  def q15TopSupplier(spark: SparkSession, dir: String): DataFrame =
+    run(spark, dir, q15TopSupplierSql)
+
+  val q15TopSupplierSql: String = """
+    WITH revenue0 AS (
+      SELECT l_suppkey AS supplier_no,
+             CAST(SUM(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(28,4))) AS DOUBLE) AS total_revenue
+      FROM lineitem
+      WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+        AND l_shipdate < TIMESTAMP '1997-04-01 00:00:00'
+      GROUP BY l_suppkey)
+    SELECT s_suppkey, s_name, total_revenue
+    FROM supplier
+    JOIN revenue0 ON s_suppkey = supplier_no
+    WHERE total_revenue = (SELECT MAX(total_revenue) FROM revenue0)
+    ORDER BY s_suppkey"""
+
+  /** Q20 shape: suppliers whose shipped quantity of a part family exceeds a
+    * per-(supplier, part) threshold (nested IN over an aggregated subquery). */
+  def q20PartSuppliers(spark: SparkSession, dir: String): DataFrame =
+    run(spark, dir, q20PartSuppliersSql)
+
+  val q20PartSuppliersSql: String = """
+    SELECT s_suppkey, s_name
+    FROM supplier
+    WHERE s_suppkey IN (
+      SELECT l_suppkey
+      FROM lineitem
+      JOIN part ON l_partkey = p_partkey
+      WHERE p_name LIKE '%gear%'
+        AND l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+        AND l_shipdate < TIMESTAMP '1998-01-01 00:00:00'
+      GROUP BY l_suppkey
+      HAVING SUM(CAST(l_quantity AS DECIMAL(28,2))) > 50)
+    ORDER BY s_suppkey"""
+
+  /** Q21 shape: suppliers with returned lines on multi-line orders where a
+    * DIFFERENT supplier also shipped (correlated EXISTS + NOT EXISTS pair). */
+  def q21WaitingSupplier(spark: SparkSession, dir: String): DataFrame =
+    run(spark, dir, q21WaitingSupplierSql)
+
+  val q21WaitingSupplierSql: String = """
+    SELECT s_name, COUNT(*) AS numwait
+    FROM supplier
+    JOIN lineitem l1 ON s_suppkey = l1.l_suppkey
+    JOIN orders ON o_orderkey = l1.l_orderkey
+    WHERE o_orderstatus = 'F'
+      AND l1.l_returnflag = 'R'
+      AND EXISTS (SELECT 1 FROM lineitem l2
+                  WHERE l2.l_orderkey = l1.l_orderkey
+                    AND l2.l_suppkey <> l1.l_suppkey)
+      AND NOT EXISTS (SELECT 1 FROM lineitem l3
+                      WHERE l3.l_orderkey = l1.l_orderkey
+                        AND l3.l_suppkey <> l1.l_suppkey
+                        AND l3.l_returnflag = 'R')
+    GROUP BY s_name
+    ORDER BY numwait DESC, s_name"""
+
   /** GROUPING SETS + ROLLUP (superset: absent from the reference grammar). */
   def qGroupingSets(spark: SparkSession, dir: String): DataFrame =
     run(spark, dir, qGroupingSetsSql)
