@@ -85,6 +85,8 @@ object EngineSession {
     spark
   }
 
-  /** Run SQL in the engine's dialect (alias surface registered). */
-  def sql(spark: SparkSession, text: String): DataFrame = spark.sql(text)
+  /** Run SQL in the engine's dialect: alias surface registered, Impala
+    * bracket plan-hints rewritten to Spark hints. */
+  def sql(spark: SparkSession, text: String): DataFrame =
+    spark.sql(Dialect.rewriteImpalaHints(text))
 }

@@ -129,6 +129,26 @@ class DialectSpec extends SparkSpec {
     assert(sql1("madlib_print_vector(madlib_vector(1.0, 2.0))") === "1.0,2.0")
   }
 
+  test("Impala bracket plan-hints rewrite to Spark hints and take effect") {
+    import spark.implicits._
+    (1 to 100).map(i => (i, s"v$i")).toDF("k", "v").createOrReplaceTempView("bh_big")
+    (1 to 5).map(i => (i, s"d$i")).toDF("k", "d").createOrReplaceTempView("bh_small")
+    val rewritten = graft.Dialect.rewriteImpalaHints(
+      "SELECT * FROM bh_big JOIN [broadcast] bh_small ON bh_big.k = bh_small.k")
+    assert(rewritten.contains("/*+ BROADCAST(bh_small) */"))
+    assert(!rewritten.contains("["))
+    val plan = graft.EngineSession.sql(spark,
+      "SELECT * FROM bh_big JOIN [broadcast] bh_small ON bh_big.k = bh_small.k")
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"), plan)
+    val plan2 = graft.EngineSession.sql(spark,
+      "SELECT * FROM bh_big JOIN [shuffle] bh_small ON bh_big.k = bh_small.k")
+      .queryExecution.executedPlan.toString
+    assert(plan2.contains("ShuffledHashJoin"), plan2)
+    // hint-free SQL passes through byte-identical
+    assert(graft.Dialect.rewriteImpalaHints("SELECT 1") === "SELECT 1")
+  }
+
   test("broadcast hint surface maps to a broadcast join plan") {
     import spark.implicits._
     (1 to 100).map(i => (i, s"v$i")).toDF("k", "v").createOrReplaceTempView("hint_big")
