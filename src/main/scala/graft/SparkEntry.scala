@@ -52,6 +52,7 @@ object SparkEntry {
     "q_text_fingerprints" -> q(LlmOps.qTextFingerprints),
     "q_sim_search" -> q(LlmOps.qSimSearch),
     "q_sim_search_lsh" -> q(LlmOps.qSimSearchLsh),
+    "q_sim_search_ivf" -> q(LlmOps.qSimSearchIvf),
     "q_multimodal" -> q(LlmOps.qMultimodal),
     // §2.1 sources + sinks
     "q_json_scan" -> q(SourceSink.qJsonScan),

@@ -85,6 +85,53 @@ object Similarity {
       .select(col("query_id"), col("cand_id"), col("sim"), col("rnk"))
   }
 
+  /** IVF-style cosine top-k: corpus bucketed by nearest k-means centroid,
+    * queries probe their `nProbe` closest centroids, exact cosine re-ranks
+    * within probed buckets (the classic IVF-flat recall/cost trade).
+    *
+    * Scale: centroids are tiny and broadcast; the corpus is scanned once to
+    * assign buckets (one ML pass), and candidate generation is the
+    * (bucket) equi-join — identical shuffle shape to the LSH variant, with
+    * data-adaptive buckets instead of oblivious hyperplanes. */
+  def ivfTopK(
+      queries: DataFrame, corpus: DataFrame,
+      idCol: String, vecCol: String, k: Int,
+      nCentroids: Int = 16, nProbe: Int = 2): DataFrame = {
+    import org.apache.spark.ml.clustering.KMeans
+    import org.apache.spark.ml.functions.array_to_vector
+    val spark = corpus.sparkSession
+
+    val c = corpus.select(col(idCol).as("cand_id"), col(vecCol).as("cv"))
+      .withColumn("features", array_to_vector(col("cv").cast("array<double>")))
+    val model = new KMeans().setK(nCentroids).setSeed(42L).setMaxIter(10).fit(c)
+    val assigned = model.transform(c)
+      .select(col("cand_id"), col("cv"), col("prediction").as("bucket"))
+
+    // centroid table (tiny, broadcast): queries rank centroids by L2 and
+    // keep the nProbe nearest buckets
+    import spark.implicits._
+    val centroids = model.clusterCenters.zipWithIndex
+      .map { case (v, i) => (i, v.toArray) }.toSeq.toDF("bucket", "centroid")
+    val l2 = aggregate(
+      zip_with(col("qv"), col("centroid"), (x, y) => {
+        val d = x.cast("double") - y
+        d * d
+      }), lit(0.0), (acc, x) => acc + x)
+    val probes = queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"))
+      .crossJoin(broadcast(centroids))
+      .withColumn("rnk", row_number().over(
+        Window.partitionBy(col("query_id")).orderBy(l2.asc, col("bucket").asc)))
+      .filter(col("rnk") <= nProbe)
+      .select(col("query_id"), col("qv"), col("bucket"))
+
+    assigned.join(broadcast(probes), Seq("bucket"))
+      .withColumn("sim", cosine(col("qv"), col("cv")))
+      .withColumn("rnk", row_number().over(
+        Window.partitionBy(col("query_id")).orderBy(col("sim").desc, col("cand_id").asc)))
+      .filter(col("rnk") <= k)
+      .select(col("query_id"), col("cand_id"), col("sim"), col("rnk"))
+  }
+
   /** Embedding-cosine near-duplicate pairs via LSH buckets (id_a < id_b,
     * cosine above threshold). Candidate generation is the bucket equi-join. */
   def cosineNearDupPairs(

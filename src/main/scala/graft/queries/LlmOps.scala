@@ -141,6 +141,18 @@ object LlmOps {
       .orderBy(col("query_id"), col("rnk"))
   }
 
+  /** IVF-bucketed top-3 (data-adaptive centroids vs the LSH variant's
+    * oblivious hyperplanes): rows-only oracle — k-means buckets aren't
+    * reproducible in DuckDB SQL. */
+  def qSimSearchIvf(spark: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.load(spark, dir, "embeddings")
+    graft.operators.Similarity.ivfTopK(
+        emb.filter(col("vec_id") < 10),
+        emb.filter(col("vec_id") >= 10),
+        "vec_id", "embedding", k = 3)
+      .orderBy(col("query_id"), col("rnk"))
+  }
+
   /** Multimodal plumbing: binary media + metadata → batch feature
     * extraction (stubbed codec) → per-format aggregate. Deterministic;
     * rows-only oracle (binary pipeline not expressible in DuckDB). */

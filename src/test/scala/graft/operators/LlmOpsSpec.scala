@@ -89,6 +89,23 @@ class LlmOpsSpec extends SparkSpec {
     assert(nd.subsetOf(Set((1L, 2L))))
   }
 
+  test("IVF top-k finds the exact nearest neighbor when it shares a bucket") {
+    import spark.implicits._
+    // clustered data: two tight groups far apart -> kmeans separates them,
+    // so the true nearest neighbor is always in the probed bucket
+    val mk = (base: Double, i: Int) => Array.tabulate(8)(d => (base + i * 0.01 + d * 0.001).toFloat)
+    val corpus = ((0 until 20).map(i => (100L + i, mk(1.0, i))) ++
+      (0 until 20).map(i => (200L + i, mk(-1.0, i)))).toDF("vec_id", "embedding")
+    val queries = Seq((1L, mk(1.0, 0)), (2L, mk(-1.0, 0))).toDF("vec_id", "embedding")
+    val ivf = Similarity.ivfTopK(queries, corpus, "vec_id", "embedding", k = 3,
+      nCentroids = 2, nProbe = 1)
+      .collect().map(r => (r.getLong(0), r.getInt(3)) -> r.getLong(1)).toMap
+    val brute = Similarity.bruteForceTopK(queries, corpus, "vec_id", "embedding", k = 1)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(ivf((1L, 1)) === brute(1L)) // rank-1 agrees with brute force
+    assert(ivf((2L, 1)) === brute(2L))
+  }
+
   test("multimodal pipeline preserves ids and emits fixed-width features") {
     import spark.implicits._
     val d = Seq((10L, "some media payload text", "en", "src3", 23L))
