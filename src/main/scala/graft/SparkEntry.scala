@@ -36,6 +36,7 @@ object SparkEntry {
     "q_window_rank" -> q(Windows.qWindowRank),
     "q_window_lag" -> q(Windows.qWindowLag),
     "q_window_frames" -> q(Windows.qWindowFrames),
+    "q_window_extra" -> q(Windows.qWindowExtra),
     // §2.7 set ops + subqueries
     "q_union" -> q(SetOps.qUnion),
     "q_cte_exists" -> q(SetOps.qCteExists),
@@ -106,6 +107,7 @@ object SparkEntry {
     "q_window_rank" -> Windows.qWindowRankSql,
     "q_window_lag" -> Windows.qWindowLagSql,
     "q_window_frames" -> Windows.qWindowFramesSql,
+    "q_window_extra" -> Windows.qWindowExtraSql,
     "q_union" -> SetOps.qUnionSql,
     "q_cte_exists" -> SetOps.qCteExistsSql,
     "q_values" -> SetOps.qValuesSql,

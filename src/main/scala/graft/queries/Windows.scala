@@ -99,6 +99,37 @@ object Windows {
       .orderBy(col("l_orderkey"), col("l_linenumber"))
   }
 
+  /** Analytic functions beyond the reference's set (ntile/percent_rank/
+    * cume_dist are absent from BuiltinsDb.java:796-867 — Spark superset),
+    * plus IGNORE NULLS variants of first/last_value. */
+  def qWindowExtra(spark: SparkSession, dir: String): DataFrame = {
+    val o = Tables.load(spark, dir, "orders")
+    val w = Window.partitionBy(col("o_orderstatus"))
+      .orderBy(col("o_totalprice").asc, col("o_orderkey").asc)
+    o.filter(col("o_orderkey") <= 3000)
+      .select(
+        col("o_orderstatus"), col("o_orderkey"), col("o_totalprice"),
+        ntile(4).over(w).as("quartile"),
+        round(percent_rank().over(w), 9).as("pr"),
+        round(cume_dist().over(w), 9).as("cd"),
+        first(when(col("o_orderpriority") === "1-URGENT", col("o_orderkey")), ignoreNulls = true)
+          .over(w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing))
+          .as("first_urgent"))
+      .orderBy(col("o_orderstatus"), col("o_orderkey"))
+  }
+
+  val qWindowExtraSql: String = """
+    SELECT o_orderstatus, o_orderkey, o_totalprice,
+           NTILE(4) OVER w AS quartile,
+           ROUND(PERCENT_RANK() OVER w, 9) AS pr,
+           ROUND(CUME_DIST() OVER w, 9) AS cd,
+           FIRST_VALUE(CASE WHEN o_orderpriority = '1-URGENT' THEN o_orderkey END IGNORE NULLS)
+             OVER (w ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS first_urgent
+    FROM orders
+    WHERE o_orderkey <= 3000
+    WINDOW w AS (PARTITION BY o_orderstatus ORDER BY o_totalprice ASC, o_orderkey ASC)
+    ORDER BY o_orderstatus, o_orderkey"""
+
   val qWindowFramesSql: String = """
     SELECT l_orderkey, l_linenumber, l_extendedprice,
            CAST(SUM(CAST(l_extendedprice AS DECIMAL(28,2)))
