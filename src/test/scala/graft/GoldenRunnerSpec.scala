@@ -1,0 +1,45 @@
+package graft
+
+/** E2E golden runner — executes a `.test`-style corpus (the reference's
+  * QueryTest format: ---- QUERY / ---- RESULTS / ---- TYPES sections,
+  * testdata/workloads/functional-query/queries/QueryTest) against the
+  * sf0.001 tables through the engine's SQL surface. */
+class GoldenRunnerSpec extends SparkSpec {
+
+  case class Case(sql: String, rows: Seq[String], types: Seq[String])
+
+  private def parse(text: String): Seq[Case] =
+    text.split("====").toSeq.map(_.trim).filter(_.nonEmpty).flatMap { block =>
+      val lines = block.linesIterator.filterNot(_.startsWith("#")).toSeq
+      def section(name: String): Seq[String] = {
+        val start = lines.indexWhere(_.trim == s"---- $name")
+        if (start < 0) Seq.empty
+        else lines.drop(start + 1).takeWhile(l => !l.trim.startsWith("---- "))
+      }
+      val sql = section("QUERY").mkString("\n").trim
+      if (sql.isEmpty) None
+      else Some(Case(sql, section("RESULTS").map(_.trim).filter(_.nonEmpty),
+        section("TYPES").mkString(",").split(",").map(_.trim).toSeq))
+    }
+
+  private def render(v: Any): String = v match {
+    case null => "NULL"
+    case d: Double => if (d == d.floor && !d.isInfinite) d.toLong.toString else d.toString
+    case x => x.toString
+  }
+
+  test("golden corpus matches expected rows and types") {
+    Tables.ensureViews(spark, "/root/testdata/sf0.001")
+    val src = scala.io.Source.fromInputStream(
+      getClass.getResourceAsStream("/golden/basic.test"), "UTF-8").mkString
+    val cases = parse(src)
+    assert(cases.nonEmpty)
+    cases.foreach { c =>
+      val df = EngineSession.sql(spark, c.sql)
+      val gotTypes = df.schema.fields.map(_.dataType.catalogString).toSeq
+      assert(gotTypes === c.types, s"types for: ${c.sql}")
+      val gotRows = df.collect().map(_.toSeq.map(render).mkString(",")).toSeq
+      assert(gotRows === c.rows, s"rows for: ${c.sql}")
+    }
+  }
+}
