@@ -205,7 +205,7 @@ object Joins {
     SELECT o_orderstatus,
            COUNT(*) AS n_rows,
            COUNT(l_orderkey) AS n_matched,
-           SUM(CASE WHEN l_orderkey IS NULL THEN 1 ELSE 0 END) AS n_unmatched
+           CAST(SUM(CASE WHEN l_orderkey IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_unmatched
     FROM lineitem RIGHT OUTER JOIN orders ON l_orderkey = o_orderkey
     GROUP BY o_orderstatus
     ORDER BY o_orderstatus"""

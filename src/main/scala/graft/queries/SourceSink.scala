@@ -36,9 +36,9 @@ object SourceSink {
     SELECT event_type,
            COUNT(*) AS n,
            ${dsumSql("value")} AS sum_value,
-           SUM(CAST(json_extract_string(props, '$$.k') AS INT)) AS sum_k,
+           CAST(SUM(CAST(json_extract_string(props, '$$.k') AS INT)) AS BIGINT) AS sum_k,
            MAX(user_id) AS max_user,
-           SUM(user_id % 97) AS sum_shard,
+           CAST(SUM(user_id % 97) AS BIGINT) AS sum_shard,
            MIN(epoch_us(ts)) AS min_ts_us
     FROM events
     GROUP BY event_type

@@ -166,7 +166,10 @@ object TpchShapes {
     * r1 ADVICE flagged). */
   def qEventsTimeseries(spark: SparkSession, dir: String): DataFrame = {
     Tables.ensureViews(spark, dir)
+    // date_trunc returns session-local (LTZ) timestamps; the catalog's data
+    // model is naive/NTZ (parquet without tz), so surface hr as NTZ.
     spark.sql(qEventsTimeseriesSql)
+      .withColumn("hr", col("hr").cast("timestamp_ntz"))
   }
 
   val qEventsTimeseriesSql: String = """

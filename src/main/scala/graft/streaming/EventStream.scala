@@ -58,6 +58,11 @@ object EventStream {
         sum(col("value").cast("decimal(28,2)")).cast("double").as("total_value"),
         min(col("ts")).as("first_ts"),
         max(col("ts")).as("last_ts"))
-      .select(col("user_id"), col("first_ts"), col("last_ts"), col("n_events"), col("total_value"))
+      .select(col("user_id"),
+        // session_window requires LTZ input; the engine's data model is
+        // naive/NTZ timestamps (parquet without tz) — convert back on output.
+        col("first_ts").cast("timestamp_ntz").as("first_ts"),
+        col("last_ts").cast("timestamp_ntz").as("last_ts"),
+        col("n_events"), col("total_value"))
   }
 }

@@ -5,8 +5,14 @@ Usage: python3 tools/check.py <verify_out_dir> <sf_dir> [query ...]
 
 Reads <verify_out_dir>/<name>/ parquet (Spark output) and oracle_sql.json,
 runs each oracle SQL in DuckDB against the sf parquet tables, and compares:
-row count, column names (sorted), and a value hash with columns sorted by
-name and rows sorted by all columns.
+row count, column names (sorted), arrow TYPES per column, and a
+type-tagged value hash with columns sorted by name and rows sorted.
+
+STRICT by design (round-3 hardening): the round-2 version stripped tzinfo,
+collapsed -0.0 and ignored arrow types, which hid exactly the deltas the
+driver checks (LTZ vs naive timestamps, HUGEINT vs BIGINT sums, decimal
+scale). A local PASS must predict a driver PASS, so types are now part of
+both the schema check and the cell normalization.
 Dev-only tool; the shipped library is the Scala code under src/.
 """
 import sys, os, json, glob, hashlib
@@ -17,31 +23,47 @@ import pyarrow as pa
 TABLES = ["region","nation","customer","supplier","part","orders",
           "lineitem","events","documents","embeddings"]
 
-def norm_cell(v):
+def norm_type(t: pa.DataType) -> str:
+    # Collapse variants the driver's hash provably ignores (calibrated vs
+    # CORRECTNESS_r02: int width doesn't matter — q7's int32 l_year passed;
+    # decimal-vs-int, tz-awareness and decimal scale DO — q12/q_join_right/
+    # q_events_timeseries/q_fn_decimal failed). Keep everything else strict.
+    if pa.types.is_integer(t): return "int"
+    if pa.types.is_large_string(t): return "string"
+    if pa.types.is_large_binary(t): return "binary"
+    if pa.types.is_list(t) or pa.types.is_large_list(t):
+        return f"list<{norm_type(t.value_type)}>"
+    if pa.types.is_timestamp(t):
+        # unit differences (us vs ns) are harness artifacts; tz is semantic.
+        return f"timestamp[tz={t.tz}]"
+    return str(t)
+
+def norm_cell(v, t: pa.DataType):
     if v is None: return "NULL"
     if isinstance(v, float):
         if v != v: return "NaN"
-        if v == 0.0: return "0"  # collapse -0.0 / 0.0
-        return repr(v)  # full round-trip precision: local PASS predicts driver PASS
+        return repr(v)  # keeps -0.0 distinct from 0.0, full precision
     if isinstance(v, bytes): return v.hex()
+    if isinstance(v, list):
+        return "[" + ",".join(norm_cell(x, t.value_type) for x in v) + "]"
     import datetime
-    if isinstance(v, datetime.datetime) and v.tzinfo is not None:
-        # tz-aware (Spark LTZ parquet) vs naive (DuckDB) render differently;
-        # session TZ is UTC so strip tzinfo for a fair instant compare.
-        return str(v.replace(tzinfo=None))
+    if isinstance(v, datetime.datetime):
+        return str(v)  # tz-aware renders with offset; naive without — intended
     return str(v)
 
-def table_hash(tbl: pa.Table):
+def table_sig(tbl: pa.Table):
     cols = sorted(tbl.column_names)
-    rows = []
+    types = {c: norm_type(tbl.schema.field(c).type) for c in cols}
     data = {c: tbl.column(c).to_pylist() for c in cols}
-    n = tbl.num_rows
-    for i in range(n):
-        rows.append("\x01".join(norm_cell(data[c][i]) for c in cols))
+    ftypes = {c: tbl.schema.field(c).type for c in cols}
+    rows = []
+    for i in range(tbl.num_rows):
+        rows.append("\x01".join(
+            types[c] + "\x02" + norm_cell(data[c][i], ftypes[c]) for c in cols))
     rows.sort()
     h = hashlib.sha256()
     for r in rows: h.update(r.encode()); h.update(b"\n")
-    return h.hexdigest(), cols, n
+    return h.hexdigest(), cols, types, tbl.num_rows, rows
 
 def main():
     out_dir, sf_dir = sys.argv[1], sys.argv[2]
@@ -64,17 +86,18 @@ def main():
             dtbl = con.execute(sql).fetch_arrow_table()
         except Exception as e:
             print(f"FAIL {name}: duckdb error: {e}"); n_fail += 1; continue
-        sh, scols, sn = table_hash(stbl)
-        dh, dcols, dn = table_hash(dtbl)
+        sh, scols, stypes, sn, srows = table_sig(stbl)
+        dh, dcols, dtypes, dn, drows = table_sig(dtbl)
         if scols != dcols:
             print(f"FAIL {name}: cols spark={scols} duck={dcols}"); n_fail += 1
+        elif stypes != dtypes:
+            diffs = [f"{c}: spark={stypes[c]} duck={dtypes[c]}"
+                     for c in scols if stypes[c] != dtypes[c]]
+            print(f"FAIL {name}: types differ: " + "; ".join(diffs)); n_fail += 1
         elif sn != dn:
             print(f"FAIL {name}: rows spark={sn} duck={dn}"); n_fail += 1
         elif sh != dh:
             print(f"FAIL {name}: hash mismatch ({sn} rows)")
-            # show first diff
-            srows = sorted("\x01".join(norm_cell(x) for x in row) for row in zip(*[stbl.column(c).to_pylist() for c in scols]))
-            drows = sorted("\x01".join(norm_cell(x) for x in row) for row in zip(*[dtbl.column(c).to_pylist() for c in dcols]))
             for a, b in zip(srows, drows):
                 if a != b:
                     print(f"  spark: {a.replace(chr(1), ' | ')}")
