@@ -32,18 +32,21 @@ object Caching {
   }
 
   /** Progress estimation (dfs-cache.h:120-145): fraction of the dataset's
-    * cached blocks already resident (memory or local disk). */
+    * cached blocks already resident (memory or local disk). Resolves the
+    * df's OWN InMemoryRelation buffer RDDs (via the plan after cache
+    * substitution) — matching by `df.rdd.id` would miss every time and
+    * read some unrelated cached RDD's stats. 0.0 if `df` isn't cached. */
   def progress(df: DataFrame): Double = {
-    val rdd = df.rdd
-    val sc = df.sparkSession.sparkContext
-    val total = rdd.getNumPartitions
-    if (total == 0) 1.0
+    val ids = org.apache.spark.sql.graftcache.CacheIntrospect.cachedRddIds(df)
+    if (ids.isEmpty) 0.0
     else {
-      // count partitions of any cached ancestor RDD that are materialized
-      val statuses = sc.getRDDStorageInfo
-      val cachedInfo = statuses.find(_.id == rdd.id)
-        .orElse(statuses.sortBy(-_.numCachedPartitions).headOption)
-      cachedInfo.map(i => i.numCachedPartitions.toDouble / math.max(i.numPartitions, 1)).getOrElse(0.0)
+      val statuses = df.sparkSession.sparkContext.getRDDStorageInfo
+      val fracs = ids.map { id =>
+        statuses.find(_.id == id)
+          .map(i => i.numCachedPartitions.toDouble / math.max(i.numPartitions, 1))
+          .getOrElse(0.0)
+      }
+      fracs.sum / fracs.size
     }
   }
 

@@ -51,6 +51,12 @@ object EngineSession {
       .builder()
       .master(master)
       .appName(appName)
+      // Extension-injected optimizer rules join the operator-optimization
+      // batch, which runs BEFORE RewriteDistinctAggregates — so the
+      // APPX_COUNT_DISTINCT rewrite sees multi-distinct aggregates intact
+      // (experimental.extraOptimizations would run after expansion and
+      // silently leave them exact).
+      .withExtensions(_.injectOptimizerRule(_ => graft.plans.AppxCountDistinctRewrite))
       .config("spark.sql.shuffle.partitions", shufflePartitions.toString)
       .config("spark.ui.enabled", "false")
     staticConfs.foreach { case (k, v) => b.config(k, v) }
@@ -63,7 +69,14 @@ object EngineSession {
 
   /** Inject the engine's optimizer rules (idempotent). The only custom rule
     * is the APPX_COUNT_DISTINCT rewrite — everything else Catalyst already
-    * does (SURVEY §4). */
+    * does (SURVEY §4).
+    *
+    * Fallback path for ADOPTED sessions only (extensions can't be added to
+    * a live session): extraOptimizations run after
+    * RewriteDistinctAggregates, so there a query with 2+ DISTINCT
+    * aggregates keeps exact semantics under APPX_COUNT_DISTINCT=true.
+    * Sessions built by [[build]] get the rule via injectOptimizerRule,
+    * which runs early enough to catch every COUNT(DISTINCT). */
   private def installRules(spark: SparkSession): Unit = {
     val existing = spark.experimental.extraOptimizations
     if (!existing.contains(graft.plans.AppxCountDistinctRewrite)) {

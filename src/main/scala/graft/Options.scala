@@ -22,9 +22,10 @@ object Options {
     "ABORT_ON_ERROR" -> (v =>
       ("spark.sql.graft.readerMode", if (v.equalsIgnoreCase("true") || v == "1") "FAILFAST" else "PERMISSIVE")),
     // INSERT compression codec
-    "COMPRESSION_CODEC" -> (v => ("spark.sql.parquet.compression.codec", v.toLowerCase)),
-    // single-node execution shortcut → collapse shuffle parallelism
-    "NUM_NODES" -> (v => ("spark.sql.shuffle.partitions", if (v == "1") "1" else v))
+    "COMPRESSION_CODEC" -> (v => ("spark.sql.parquet.compression.codec", v.toLowerCase))
+    // NUM_NODES (single-node shortcut → shuffle parallelism) is handled
+    // directly in set(): 0 means "use all nodes" and must restore the
+    // session default, not set shuffle.partitions=0 (SQLConf rejects it).
   )
 
   private def flip(v: String): String =
@@ -33,8 +34,23 @@ object Options {
   /** Apply `SET name=value`. Unknown/resource-only options are recorded
     * under a namespaced conf (visible, inert) like the reference records
     * them in its per-query options struct. */
+  // Session default stash for NUM_NODES=0 restore (conf.unset would fall
+  // back to Spark's static 200, not the session's configured parallelism).
+  private val NumNodesStash = "spark.graft.option.num_nodes.default"
+
   def set(spark: SparkSession, name: String, value: String): Unit =
-    mapped.get(name.toUpperCase) match {
+    if (name.equalsIgnoreCase("NUM_NODES")) {
+      if (value == "0") {
+        // 0 = "use all nodes" (the reference default): restore the
+        // parallelism the session had before the first NUM_NODES override.
+        spark.conf.getOption(NumNodesStash)
+          .foreach(v => spark.conf.set("spark.sql.shuffle.partitions", v))
+      } else {
+        if (spark.conf.getOption(NumNodesStash).isEmpty)
+          spark.conf.set(NumNodesStash, spark.conf.get("spark.sql.shuffle.partitions"))
+        spark.conf.set("spark.sql.shuffle.partitions", value)
+      }
+    } else mapped.get(name.toUpperCase) match {
       case Some(f) =>
         val (k, v) = f(value)
         spark.conf.set(k, v)

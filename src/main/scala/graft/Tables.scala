@@ -41,11 +41,16 @@ object Tables {
   def registerAll(spark: SparkSession, dir: String): Unit =
     all.foreach(n => load(spark, dir, n).createOrReplaceTempView(n))
 
-  // Memoized per (session, dir) so SQL-surface queries can call this on
-  // every invocation without re-building 10 scan plans each time.
-  private val registered = new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), Boolean]()
+  // Temp views are session-global, so memoizing every (session, dir) pair
+  // is wrong: after views point at dir B, a call for previously-seen dir A
+  // would be skipped and silently read B's data. Track the ONE currently
+  // registered dir per session and re-register whenever it differs.
+  private val registered = new java.util.concurrent.ConcurrentHashMap[SparkSession, String]()
 
-  /** Idempotent view registration; cheap after the first call. */
+  /** Idempotent view registration; cheap when `dir` is already current. */
   def ensureViews(spark: SparkSession, dir: String): Unit =
-    registered.computeIfAbsent((spark, dir), { _ => registerAll(spark, dir); true })
+    registered.compute(spark, { (s, cur) =>
+      if (cur != dir) registerAll(s, dir)
+      dir
+    })
 }

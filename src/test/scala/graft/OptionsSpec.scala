@@ -20,6 +20,19 @@ class OptionsSpec extends SparkSpec {
     assert(Options.show(spark).contains("spark.graft.option.mem_limit"))
   }
 
+  test("NUM_NODES: 1 collapses shuffle parallelism, 0 restores the default") {
+    val before = spark.conf.get("spark.sql.shuffle.partitions")
+    Options.set(spark, "NUM_NODES", "1")
+    assert(spark.conf.get("spark.sql.shuffle.partitions") === "1")
+    // 0 = "use all nodes" (the reference default): reset, not partitions=0
+    Options.set(spark, "NUM_NODES", "0")
+    assert(spark.conf.get("spark.sql.shuffle.partitions") === before)
+    // SET still works afterwards (regression: 0 used to throw in SQLConf)
+    Options.set(spark, "NUM_NODES", "8")
+    assert(spark.conf.get("spark.sql.shuffle.partitions") === "8")
+    Options.set(spark, "NUM_NODES", "0")
+  }
+
   test("EXPLAIN levels return increasingly detailed plans") {
     import spark.implicits._
     val df = Seq((1, "a")).toDF("k", "v").filter(col("k") > 0)

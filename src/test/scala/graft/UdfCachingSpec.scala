@@ -38,6 +38,10 @@ class UdfCachingSpec extends SparkSpec {
       val n = scala.concurrent.Await.result(fut, 60.seconds)
       assert(n > 0)
       assert(Caching.progress(df) === 1.0)
+      // progress is per-dataset: an uncached df must report 0 even while
+      // another dataset is fully cached (regression: max-cached fallback)
+      val other = Tables.load(spark, "/root/testdata/sf0.001", "orders")
+      assert(Caching.progress(other) === 0.0)
     } finally Caching.release(df)
   }
 }

@@ -149,6 +149,25 @@ class DialectSpec extends SparkSpec {
     assert(graft.Dialect.rewriteImpalaHints("SELECT 1") === "SELECT 1")
   }
 
+  test("bracket hints anchor to the owning query block, skip string literals") {
+    // hint inside a CTE must land on the CTE's SELECT, not the outer one
+    val cte = graft.Dialect.rewriteImpalaHints(
+      "WITH c AS (SELECT * FROM bh_big JOIN [broadcast] bh_small ON bh_big.k = bh_small.k) SELECT * FROM c")
+    assert(cte.startsWith("WITH c AS (SELECT /*+ BROADCAST(bh_small) */"), cte)
+    assert(!cte.contains("["), cte)
+    // two hints in the same block combine into one comment
+    val two = graft.Dialect.rewriteImpalaHints(
+      "SELECT * FROM a JOIN [broadcast] b ON a.k = b.k JOIN [shuffle] c ON a.k = c.k")
+    assert(two.contains("/*+ BROADCAST(b), SHUFFLE_HASH(c) */"), two)
+    // bracket text inside a string literal is data, not a hint
+    val lit = "SELECT 'JOIN [broadcast] x' AS s FROM t"
+    assert(graft.Dialect.rewriteImpalaHints(lit) === lit)
+    // subquery-then-join: the join's hint anchors to the OUTER select
+    val sub = graft.Dialect.rewriteImpalaHints(
+      "SELECT * FROM (SELECT k FROM inner_t) s JOIN [broadcast] d ON s.k = d.k")
+    assert(sub.startsWith("SELECT /*+ BROADCAST(d) */ * FROM (SELECT k"), sub)
+  }
+
   test("broadcast hint surface maps to a broadcast join plan") {
     import spark.implicits._
     (1 to 100).map(i => (i, s"v$i")).toDF("k", "v").createOrReplaceTempView("hint_big")
