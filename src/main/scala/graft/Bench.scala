@@ -18,10 +18,19 @@ object Bench {
     // Warm the JVM/session once so per-query numbers measure the query,
     // not SparkSession + codegen bootstrap.
     spark.range(1000).selectExpr("sum(id)").collect()
+    // Pre-generate the scan fixtures (NDJSON/CSV derived from parquet) so
+    // format-scan entries time the SCAN, not a one-time fixture write.
+    Seq(warmDir, sfDir).foreach { d =>
+      sources.Formats.ensureJsonFixture(spark, Tables.load(spark, d, "events"), d)
+      sources.Formats.ensureCsvFixture(spark, Tables.load(spark, d, "nation"), d)
+    }
 
     val times = scala.collection.mutable.LinkedHashMap[String, Double]()
     val failed = scala.collection.mutable.LinkedHashMap[String, String]()
-    SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
+    // optional args: restrict to the named queries (dev iteration aid)
+    val selected = SparkEntry.queries.toSeq.sortBy(_._1)
+      .filter { case (name, _) => args.isEmpty || args.contains(name) }
+    selected.foreach { case (name, fn) =>
       try {
         // per-query warm pass at the smallest SF: compiles the generated
         // code and loads file metadata, so the timed run measures the

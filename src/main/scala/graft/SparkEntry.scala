@@ -1,7 +1,7 @@
 package graft
 import org.apache.spark.sql.{SparkSession, DataFrame}
 
-import graft.queries.{Relational, Joins, Aggregates, Windows, SetOps, FunctionCorpus, LlmOps, SourceSink, TpchShapes, TpchShapes2}
+import graft.queries.{Relational, Joins, Aggregates, Windows, SetOps, FunctionCorpus, LlmOps, SourceSink, TpchShapes, TpchShapes2, Extras}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   * One `queries` entry per implemented operator from SURVEY.md §2; every
@@ -32,6 +32,7 @@ object SparkEntry {
     "q_join_outer" -> q(Joins.qJoinOuter),
     "q_join_right" -> q(Joins.qJoinRight),
     "q_join_cross" -> q(Joins.qJoinCross),
+    "q_join_right_semi" -> q(Extras.qJoinRightSemi),
     // §2.5 window / analytic
     "q_window_rank" -> q(Windows.qWindowRank),
     "q_window_lag" -> q(Windows.qWindowLag),
@@ -46,6 +47,10 @@ object SparkEntry {
     "q_fn_math" -> q(FunctionCorpus.qFnMath),
     "q_fn_date" -> q(FunctionCorpus.qFnDate),
     "q_fn_cond" -> q(FunctionCorpus.qFnCond),
+    "q_fn_tz" -> q(Extras.qFnTz),
+    "q_madlib_vector" -> q(Extras.qMadlibVector),
+    "q_char_padding" -> q(Extras.qCharPadding),
+    "q_ext_source" -> q(Extras.qExtSource),
     // LLM-data-pipeline operators (extension surface)
     "q_dedup_exact" -> q(LlmOps.qDedupExact),
     "q_dedup_minhash" -> q(LlmOps.qDedupMinhash),
@@ -145,7 +150,12 @@ object SparkEntry {
     "q21_waiting_supplier" -> TpchShapes2.q21WaitingSupplierSql,
     "q_grouping_sets" -> TpchShapes2.qGroupingSetsSql,
     "q_intersect_except" -> TpchShapes2.qIntersectExceptSql,
-    "q_fn_json" -> TpchShapes2.qFnJsonSql
+    "q_fn_json" -> TpchShapes2.qFnJsonSql,
+    "q_join_right_semi" -> Extras.qJoinRightSemiSql,
+    "q_fn_tz" -> Extras.qFnTzSql,
+    "q_madlib_vector" -> Extras.qMadlibVectorSql,
+    "q_char_padding" -> Extras.qCharPaddingSql,
+    "q_ext_source" -> Extras.qExtSourceSql
     // q_dedup_minhash / q_text_fingerprints / q_sim_search_lsh / q_multimodal:
     // hash-seeded operators DuckDB SQL can't reproduce — rows-only checks.
   )

@@ -114,7 +114,11 @@ object ImpalaFunctions {
     "madlib_decode_vector" -> { case Seq(s) =>
       Cast(StringSplit(s, Literal(","), Literal(-1)), ArrayType(DoubleType))
     },
-    "madlib_print_vector" -> { case Seq(v) => ArrayJoin(Cast(v, ArrayType(StringType)), Literal(","), None) }
+    "madlib_print_vector" -> { case Seq(v) => ArrayJoin(Cast(v, ArrayType(StringType)), Literal(","), None) },
+
+    // ---- codegen'd vector kernels (similarity-search hot path) ----
+    "dot_product" -> { case Seq(a, b) => DotProduct(a, b) },
+    "cosine_similarity" -> { case Seq(a, b) => CosineSimilarity(a, b) }
   )
 
   private def tsAdd(unit: String): Builder = { case Seq(t, n) => TimestampAdd(unit, n, t) }

@@ -1,0 +1,132 @@
+package graft.functions
+
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.types._
+
+/** Vector kernels for the similarity-search operators, callable from
+  * interpreted eval AND generated Java (top-level object → static
+  * forwarders).
+  *
+  * All accumulation is a SEQUENTIAL double left fold in element order —
+  * exactly the semantics of `aggregate(zip_with(a, b, _*_), 0.0, _+_)`
+  * these kernels replace — so results stay bit-identical to the previous
+  * higher-order-function formulation (and to DuckDB's
+  * `list_sum(list_transform(...))` oracle), while running as one tight
+  * loop inside whole-stage codegen instead of per-element interpreted
+  * lambda dispatch.
+  *
+  * Null semantics mirror zip_with/aggregate: mismatched lengths or any
+  * null element → null (returned as a boxed null).
+  */
+object VectorMath {
+
+  @inline private def elem(a: ArrayData, i: Int, isFloat: Boolean): Double =
+    if (isFloat) a.getFloat(i).toDouble else a.getDouble(i)
+
+  /** dot(a, b); null on length mismatch / null element. */
+  def dot(a: ArrayData, aFloat: Boolean, b: ArrayData, bFloat: Boolean): java.lang.Double = {
+    val n = a.numElements()
+    if (n != b.numElements()) return null
+    var acc = 0.0
+    var i = 0
+    while (i < n) {
+      if (a.isNullAt(i) || b.isNullAt(i)) return null
+      acc += elem(a, i, aFloat) * elem(b, i, bFloat)
+      i += 1
+    }
+    acc
+  }
+
+  /** cosine(a, b) = dot/(|a|*|b|), all three folds sequential in element
+    * order; null on length mismatch / null element. */
+  def cosine(a: ArrayData, aFloat: Boolean, b: ArrayData, bFloat: Boolean): java.lang.Double = {
+    val n = a.numElements()
+    if (n != b.numElements()) return null
+    var d = 0.0; var na = 0.0; var nb = 0.0
+    var i = 0
+    while (i < n) {
+      if (a.isNullAt(i) || b.isNullAt(i)) return null
+      val x = elem(a, i, aFloat)
+      val y = elem(b, i, bFloat)
+      d += x * y; na += x * x; nb += y * y
+      i += 1
+    }
+    d / (math.sqrt(na) * math.sqrt(nb))
+  }
+}
+
+/** Shared scaffolding for the binary array<float|double> → double kernels. */
+abstract class VectorBinaryExpression extends BinaryExpression {
+
+  override def dataType: DataType = DoubleType
+
+  // null is produced on length mismatch / null element even when both
+  // inputs are non-nullable — without this, codegen would emit an
+  // assignment to a constant-false isNull.
+  override def nullable: Boolean = true
+
+  protected def elementIsFloat(e: Expression): Boolean = e.dataType match {
+    case ArrayType(FloatType, _) => true
+    case _ => false
+  }
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult = {
+    def ok(t: DataType) = t match {
+      case ArrayType(FloatType | DoubleType, _) => true
+      case _ => false
+    }
+    if (ok(left.dataType) && ok(right.dataType))
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    else
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+        s"$prettyName expects array<float|double> inputs, got " +
+          s"${left.dataType.catalogString} and ${right.dataType.catalogString}")
+  }
+
+  protected def kernel: String // static method name on VectorMath
+
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val r =
+      if (kernel == "dot")
+        VectorMath.dot(a.asInstanceOf[ArrayData], elementIsFloat(left),
+          b.asInstanceOf[ArrayData], elementIsFloat(right))
+      else
+        VectorMath.cosine(a.asInstanceOf[ArrayData], elementIsFloat(left),
+          b.asInstanceOf[ArrayData], elementIsFloat(right))
+    if (r == null) null else r.doubleValue()
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val vm = classOf[VectorMath.type].getName.stripSuffix("$")
+    val boxed = ctx.freshName("boxed")
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      s"""
+         |java.lang.Double $boxed = $vm.$kernel($a, ${elementIsFloat(left)}, $b, ${elementIsFloat(right)});
+         |if ($boxed == null) {
+         |  ${ev.isNull} = true;
+         |} else {
+         |  ${ev.value} = $boxed.doubleValue();
+         |}
+       """.stripMargin
+    })
+  }
+}
+
+/** `dot_product(a, b)` — sequential-fold double dot product. */
+case class DotProduct(left: Expression, right: Expression) extends VectorBinaryExpression {
+  override protected def kernel: String = "dot"
+  override def prettyName: String = "dot_product"
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): DotProduct =
+    copy(left = l, right = r)
+}
+
+/** `cosine_similarity(a, b)` — single-pass cosine (dot + both norms in one
+  * loop), replacing three interpreted `aggregate(zip_with(...))` folds. */
+case class CosineSimilarity(left: Expression, right: Expression) extends VectorBinaryExpression {
+  override protected def kernel: String = "cosine"
+  override def prettyName: String = "cosine_similarity"
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): CosineSimilarity =
+    copy(left = l, right = r)
+}

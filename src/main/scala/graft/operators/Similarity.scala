@@ -21,15 +21,19 @@ import org.apache.spark.sql.functions._
   */
 object Similarity {
 
-  /** dot(a, b) in double with sequential accumulation. */
+  /** dot(a, b) in double with sequential accumulation — a codegen'd
+    * Catalyst expression (VectorMath.dot), bit-identical to the
+    * `aggregate(zip_with(...))` fold it replaces but ~an order of
+    * magnitude faster: one tight loop inside whole-stage codegen vs
+    * per-element interpreted lambda dispatch. */
   def dot(a: Column, b: Column): Column =
-    aggregate(
-      zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
-      lit(0.0), (acc, x) => acc + x)
+    call_function("dot_product", a, b)
 
   def norm(a: Column): Column = sqrt(dot(a, a))
 
-  def cosine(a: Column, b: Column): Column = dot(a, b) / (norm(a) * norm(b))
+  /** Single-pass cosine (dot + both norms in one loop). */
+  def cosine(a: Column, b: Column): Column =
+    call_function("cosine_similarity", a, b)
 
   /** Brute-force cosine top-k: every query row against every corpus row,
     * queries broadcast. Returns (query id, corpus id, cosine, rank). */

@@ -1,0 +1,146 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+
+/** Round-3 catalog promotions: components that were unit-test-only get
+  * driver-checked CORRECTNESS entries (madlib vector functions, the
+  * DataSource V2 external scan, CHAR(n) padding, UTC timezone conversion,
+  * right-semi join shape).
+  */
+object Extras {
+
+  private def run(spark: SparkSession, dir: String, sql: String): DataFrame = {
+    Tables.ensureViews(spark, dir)
+    spark.sql(sql)
+  }
+
+  /** madlib vector surface (reference: udf-builtins.h:558 madlib interop)
+    * + the codegen'd dot_product kernel, over the embeddings table.
+    * Numeric outputs only — float→string encoding is format-sensitive
+    * across oracle builds and stays in DialectSpec. */
+  def qMadlibVector(spark: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.load(spark, dir, "embeddings")
+    emb.filter(col("vec_id") <= 200)
+      .select(
+        col("vec_id"),
+        call_function("madlib_vector_get", lit(0), col("embedding")).as("e0"),
+        call_function("madlib_vector_get", lit(7), col("embedding")).as("e7"),
+        call_function("dot_product", col("embedding"), col("embedding")).as("dp"),
+        sqrt(call_function("dot_product", col("embedding"), col("embedding"))).as("nrm"))
+      .orderBy(col("vec_id"))
+  }
+
+  val qMadlibVectorSql: String = """
+    SELECT vec_id,
+           embedding[1] AS e0,
+           embedding[8] AS e7,
+           list_sum(list_transform(embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))) AS dp,
+           sqrt(list_sum(list_transform(embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) AS nrm
+    FROM embeddings
+    WHERE vec_id <= 200
+    ORDER BY vec_id"""
+
+  /** External DataSource V2 scan (SeqSource — the ext-data-source
+    * analogue): range filters push into the source, aggregation on top.
+    * `v = id * 0.25` keeps every double sum exact, so the hash is
+    * order-independent. */
+  def qExtSource(spark: SparkSession, dir: String): DataFrame =
+    spark.read.format("graft.sources.SeqSource")
+      .option("rows", "100000").option("slices", "8").load()
+      .filter(col("id") >= 1000L && col("id") < 51000L)
+      .groupBy(col("grp"))
+      .agg(
+        count(lit(1)).as("n"),
+        sum(col("id")).as("sum_id"),
+        sum(col("v")).as("sum_v"))
+      .orderBy(col("grp"))
+
+  val qExtSourceSql: String = """
+    SELECT CAST(range % 10 AS INT) AS grp,
+           COUNT(*) AS n,
+           CAST(SUM(range) AS BIGINT) AS sum_id,
+           SUM(CAST(range AS DOUBLE) * 0.25) AS sum_v
+    FROM range(100000)
+    WHERE range >= 1000 AND range < 51000
+    GROUP BY 1
+    ORDER BY 1"""
+
+  /** CHAR(n) read-side padding (reference types.h:44-47, chars.test):
+    * values round-trip through a CHAR(25) table column and surface padded;
+    * rtrim recovers the raw value. */
+  def qCharPadding(spark: SparkSession, dir: String): DataFrame = {
+    val nation = Tables.load(spark, dir, "nation")
+    spark.sql("DROP TABLE IF EXISTS graft_char_nation")
+    spark.sql(
+      "CREATE TABLE graft_char_nation (n_nationkey INT, n_name CHAR(25), n_regionkey INT) USING parquet")
+    nation.select(col("n_nationkey"), col("n_name"), col("n_regionkey"))
+      .write.insertInto("graft_char_nation")
+    spark.table("graft_char_nation")
+      .select(
+        col("n_nationkey"),
+        col("n_name"),
+        length(col("n_name")).as("ln"),
+        rtrim(col("n_name")).as("trimmed"))
+      .orderBy(col("n_nationkey"))
+  }
+
+  val qCharPaddingSql: String = """
+    SELECT n_nationkey,
+           rpad(n_name, 25, ' ') AS n_name,
+           CAST(25 AS INT) AS ln,
+           n_name AS trimmed
+    FROM nation
+    ORDER BY n_nationkey"""
+
+  /** from_utc_timestamp / to_utc_timestamp (reference: timezone_db.cc —
+    * TZ conversion is core timestamp surface). The oracle uses the
+    * session-TZ-independent `timezone(tz, ts AT TIME ZONE 'UTC')` form.
+    * Order dates sit at midnight, away from any DST transition hour. */
+  def qFnTz(spark: SparkSession, dir: String): DataFrame =
+    run(spark, dir, """
+      SELECT o_orderkey,
+             CAST(to_utc_timestamp(o_orderdate, 'America/Los_Angeles') AS TIMESTAMP_NTZ) AS utc_from_la,
+             CAST(from_utc_timestamp(o_orderdate, 'America/Los_Angeles') AS TIMESTAMP_NTZ) AS la_from_utc,
+             CAST(from_utc_timestamp(o_orderdate, 'Asia/Tokyo') AS TIMESTAMP_NTZ)         AS tokyo_from_utc,
+             CAST(to_utc_timestamp(o_orderdate, 'Europe/Paris') AS TIMESTAMP_NTZ)         AS utc_from_paris
+      FROM orders
+      WHERE o_orderkey <= 500
+      ORDER BY o_orderkey""")
+
+  val qFnTzSql: String = """
+    SELECT o_orderkey,
+           timezone('UTC', o_orderdate AT TIME ZONE 'America/Los_Angeles') AS utc_from_la,
+           timezone('America/Los_Angeles', o_orderdate AT TIME ZONE 'UTC') AS la_from_utc,
+           timezone('Asia/Tokyo', o_orderdate AT TIME ZONE 'UTC')          AS tokyo_from_utc,
+           timezone('UTC', o_orderdate AT TIME ZONE 'Europe/Paris')        AS utc_from_paris
+    FROM orders
+    WHERE o_orderkey <= 500
+    ORDER BY o_orderkey"""
+
+  /** RIGHT SEMI JOIN shape (reference JoinOperator.java:27): semantically a
+    * semi-join preserving the RIGHT input; Spark expresses it as left-semi
+    * with sides swapped and the planner picks the build side (with AQE it
+    * mirrors the reference's build-on-left physical choice). */
+  def qJoinRightSemi(spark: SparkSession, dir: String): DataFrame = {
+    val orders = Tables.load(spark, dir, "orders")
+    val lineitem = Tables.load(spark, dir, "lineitem")
+    orders.filter(col("o_orderpriority") === "1-URGENT")
+      .join(lineitem.filter(col("l_quantity") > 45),
+        col("o_orderkey") === col("l_orderkey"), "left_semi")
+      .groupBy(col("o_orderstatus"))
+      .agg(count(lit(1)).as("n"), min(col("o_orderkey")).as("min_key"))
+      .orderBy(col("o_orderstatus"))
+  }
+
+  val qJoinRightSemiSql: String = """
+    SELECT o_orderstatus, COUNT(*) AS n, MIN(o_orderkey) AS min_key
+    FROM orders
+    WHERE o_orderpriority = '1-URGENT'
+      AND EXISTS (SELECT 1 FROM lineitem
+                  WHERE l_orderkey = o_orderkey AND l_quantity > 45)
+    GROUP BY o_orderstatus
+    ORDER BY o_orderstatus"""
+}
