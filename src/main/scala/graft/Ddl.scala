@@ -46,4 +46,117 @@ object Ddl {
   /** `DESCRIBE [FORMATTED] t` passthrough. */
   def describe(spark: SparkSession, table: String, formatted: Boolean = false): DataFrame =
     spark.sql(s"DESCRIBE ${if (formatted) "FORMATTED " else ""}$table")
+
+  // ------------------------------------------------------------------
+  // ALTER TABLE family (reference: fe/.../analysis/AlterTable*.java)
+  // ------------------------------------------------------------------
+
+  /** `ALTER TABLE t ADD COLUMNS (c1 T1, ...)` — passthrough (appended
+    * columns read as NULL from files written before the change, matching
+    * the reference's by-name parquet resolution). */
+  def addColumns(spark: SparkSession, table: String, colsDdl: String): Unit =
+    spark.sql(s"ALTER TABLE $table ADD COLUMNS ($colsDdl)")
+
+  /** `ALTER TABLE t RENAME TO t2` passthrough. */
+  def renameTable(spark: SparkSession, table: String, to: String): Unit =
+    spark.sql(s"ALTER TABLE $table RENAME TO $to")
+
+  /** `ALTER TABLE t DROP COLUMN c` / `REPLACE COLUMNS`: Spark's v1
+    * parquet tables can't drop columns in place, but an EXTERNAL table is
+    * just schema-over-files (parquet resolves by name) — so the shim
+    * re-declares the table at the same location with the narrowed schema,
+    * exactly what the reference's catalog update does. Managed tables are
+    * rejected (dropping them would delete data). */
+  def replaceColumns(spark: SparkSession, table: String, colsDdl: String): Unit = {
+    val ident = spark.sessionState.sqlParser.parseTableIdentifier(table)
+    val meta = spark.sessionState.catalog.getTableMetadata(ident)
+    require(meta.tableType == org.apache.spark.sql.catalyst.catalog.CatalogTableType.EXTERNAL,
+      s"REPLACE/DROP COLUMNS shim supports external tables only; $table is ${meta.tableType.name}")
+    val loc = meta.location.toString
+    val partCols = meta.partitionColumnNames
+    val partClause =
+      if (partCols.isEmpty) ""
+      else meta.partitionSchema.toDDL
+        .split(",").map(_.trim).mkString(" PARTITIONED BY (", ", ", ")")
+    spark.sql(s"DROP TABLE $table")
+    spark.sql(s"CREATE TABLE $table ($colsDdl) USING parquet$partClause LOCATION '$loc'")
+    if (partCols.nonEmpty) spark.sql(s"MSCK REPAIR TABLE $table")
+  }
+
+  def dropColumn(spark: SparkSession, table: String, column: String): Unit = {
+    val remaining = spark.table(table).schema.fields
+      .filterNot(_.name.equalsIgnoreCase(column))
+    require(remaining.length < spark.table(table).schema.length, s"no such column: $column")
+    val ident = spark.sessionState.sqlParser.parseTableIdentifier(table)
+    val meta = spark.sessionState.catalog.getTableMetadata(ident)
+    val dataCols = remaining.filterNot(f => meta.partitionColumnNames.contains(f.name))
+    replaceColumns(spark, table,
+      org.apache.spark.sql.types.StructType(dataCols).toDDL)
+  }
+
+  /** `ALTER TABLE t ADD [IF NOT EXISTS] PARTITION (spec)` passthrough. */
+  def addPartition(spark: SparkSession, table: String, spec: String,
+      location: Option[String] = None): Unit =
+    spark.sql(s"ALTER TABLE $table ADD IF NOT EXISTS PARTITION ($spec)" +
+      location.map(l => s" LOCATION '$l'").getOrElse(""))
+
+  /** `ALTER TABLE t DROP [IF EXISTS] PARTITION (spec)` passthrough. */
+  def dropPartition(spark: SparkSession, table: String, spec: String): Unit =
+    spark.sql(s"ALTER TABLE $table DROP IF EXISTS PARTITION ($spec)")
+
+  // ------------------------------------------------------------------
+  // SHOW family (ShowPartitionsStmt/ShowStatsStmt/ShowFilesStmt)
+  // ------------------------------------------------------------------
+
+  /** `SHOW PARTITIONS t` passthrough. */
+  def showPartitions(spark: SparkSession, table: String): DataFrame =
+    spark.sql(s"SHOW PARTITIONS $table")
+
+  /** `SHOW TABLE STATS t` → catalog statistics (rows, bytes) after
+    * COMPUTE STATS, like the reference's stats-store view. */
+  def showTableStats(spark: SparkSession, table: String): DataFrame =
+    spark.sql(s"DESCRIBE TABLE EXTENDED $table")
+      .filter("col_name = 'Statistics'")
+
+  /** `SHOW COLUMN STATS t` → per-column stats (ndv, nulls, min/max). */
+  def showColumnStats(spark: SparkSession, table: String, column: String): DataFrame =
+    spark.sql(s"DESCRIBE TABLE EXTENDED $table $column")
+
+  /** `SHOW FILES IN t` → the files backing the table. */
+  def showFiles(spark: SparkSession, table: String): DataFrame = {
+    import spark.implicits._
+    spark.table(table).inputFiles.toSeq.toDF("path")
+  }
+
+  // ------------------------------------------------------------------
+  // LOAD DATA (LoadDataStmt.java): move files into the table directory
+  // ------------------------------------------------------------------
+
+  /** `LOAD DATA INPATH 'src' INTO TABLE t [PARTITION (spec)]`: moves the
+    * source files under the table (or partition) location and refreshes
+    * metadata — file-move semantics like the reference, not a rewrite. */
+  def loadData(spark: SparkSession, srcPath: String, table: String,
+      partitionSpec: Option[String] = None): Unit = {
+    val ident = spark.sessionState.sqlParser.parseTableIdentifier(table)
+    val meta = spark.sessionState.catalog.getTableMetadata(ident)
+    val destBase = new org.apache.hadoop.fs.Path(meta.location)
+    val dest = partitionSpec match {
+      case Some(spec) =>
+        val sub = spec.split(",").map(_.trim.replaceAll("'|\"", "")).mkString("/")
+        new org.apache.hadoop.fs.Path(destBase, sub)
+      case None => destBase
+    }
+    val conf = spark.sessionState.newHadoopConf()
+    val fs = dest.getFileSystem(conf)
+    fs.mkdirs(dest)
+    val src = new org.apache.hadoop.fs.Path(srcPath)
+    val srcFs = src.getFileSystem(conf)
+    val files: Seq[org.apache.hadoop.fs.FileStatus] =
+      if (srcFs.getFileStatus(src).isDirectory)
+        srcFs.listStatus(src).toSeq.filter(f => f.isFile && !f.getPath.getName.startsWith("_"))
+      else Seq(srcFs.getFileStatus(src))
+    files.foreach(f => fs.rename(f.getPath, new org.apache.hadoop.fs.Path(dest, f.getPath.getName)))
+    partitionSpec.foreach(spec => addPartition(spark, table, spec))
+    refresh(spark, table)
+  }
 }

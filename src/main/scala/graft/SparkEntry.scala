@@ -51,6 +51,7 @@ object SparkEntry {
     "q_madlib_vector" -> q(Extras.qMadlibVector),
     "q_char_padding" -> q(Extras.qCharPadding),
     "q_ext_source" -> q(Extras.qExtSource),
+    "q_partitioned_alter" -> q(Extras.qPartitionedAlter),
     // LLM-data-pipeline operators (extension surface)
     "q_dedup_exact" -> q(LlmOps.qDedupExact),
     "q_dedup_minhash" -> q(LlmOps.qDedupMinhash),
@@ -155,7 +156,8 @@ object SparkEntry {
     "q_fn_tz" -> Extras.qFnTzSql,
     "q_madlib_vector" -> Extras.qMadlibVectorSql,
     "q_char_padding" -> Extras.qCharPaddingSql,
-    "q_ext_source" -> Extras.qExtSourceSql
+    "q_ext_source" -> Extras.qExtSourceSql,
+    "q_partitioned_alter" -> Extras.qPartitionedAlterSql
     // q_dedup_minhash / q_text_fingerprints / q_sim_search_lsh / q_multimodal:
     // hash-seeded operators DuckDB SQL can't reproduce — rows-only checks.
   )

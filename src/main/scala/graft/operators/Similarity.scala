@@ -53,36 +53,79 @@ object Similarity {
 
   /** Deterministic ±1 hyperplane weights: nothing random at runtime, the
     * planes are a pure function of (plane index, dimension). */
-  private def planeWeights(planes: Int, dims: Int): Seq[Seq[Double]] =
-    (0 until planes).map { p =>
-      (0 until dims).map { d =>
-        val h = graft.functions.FnvHash64.hashLongBits((p.toLong << 32) | d.toLong, 8)
-        if ((h & 1L) == 0L) 1.0 else -1.0
-      }
+  private def planeWeight(p: Int, dims: Int): Seq[Double] =
+    (0 until dims).map { d =>
+      val h = graft.functions.FnvHash64.hashLongBits((p.toLong << 32) | d.toLong, 8)
+      if ((h & 1L) == 0L) 1.0 else -1.0
     }
 
-  /** Sign-LSH bucket id: bit b set iff dot(v, plane_b) >= 0. */
-  def lshBucket(vec: Column, planes: Int, dims: Int): Column = {
-    val ws = planeWeights(planes, dims)
+  /** Sign-LSH bucket id: bit b set iff dot(v, plane_b) >= threshold_b.
+    * `table` selects an independent plane family (plane indices offset by
+    * table*planes) and namespaces the bucket ids so tables never collide.
+    *
+    * `thresholds` mean-centers the hash: for non-centered embeddings (a
+    * large shared mean component — true of most real embedding models and
+    * of the synthetic corpus) every origin-crossing hyperplane computes
+    * the SAME two-way split, collapsing all buckets into two complementary
+    * ids. Centering on the corpus mean is the standard fix, and by
+    * linearity it reduces to the scalar per-plane threshold dot(mean, w).
+    */
+  def lshBucket(vec: Column, planes: Int, dims: Int, table: Int = 0,
+      thresholds: Seq[Double] = Nil): Column = {
     val signBits = (0 until planes).map { p =>
-      val w = array(ws(p).map(lit): _*)
-      when(dot(vec, w) >= 0, lit(1L << p)).otherwise(lit(0L))
+      val w = array(planeWeight(table * planes + p, dims).map(lit): _*)
+      val thr = if (thresholds.isEmpty) 0.0 else thresholds(p)
+      when(dot(vec, w) >= thr, lit(1L << p)).otherwise(lit(0L))
     }
-    signBits.reduce(_ + _)
+    (lit(table.toLong << planes) +: signBits).reduce(_ + _)
   }
 
-  /** LSH-bucketed cosine top-k: candidates only from the query's bucket.
-    * Recall < 1 by construction (documented); bucket count tunes the
-    * candidate-set size: ~|corpus| / 2^planes candidates per query. */
+  /** Per-dimension corpus mean (one 64-row aggregate, driver-collected —
+    * the LSH analogue of IVF's centroid fit). */
+  private def dimMeans(corpus: DataFrame, vecCol: String): Array[Double] =
+    corpus.select(posexplode(col(vecCol)).as(Seq("i", "x")))
+      .groupBy(col("i")).agg(avg(col("x").cast("double")).as("m"))
+      .orderBy(col("i")).collect().map(_.getDouble(1))
+
+  private def planeThresholds(mean: Array[Double], planes: Int, dims: Int, table: Int): Seq[Double] =
+    (0 until planes).map { p =>
+      planeWeight(table * planes + p, dims).zip(mean).map { case (a, b) => a * b }.sum
+    }
+
+  /** LSH-bucketed cosine top-k with MULTI-PROBE: each query searches its
+    * own bucket plus every bucket at hamming distance 1 (one hyperplane
+    * sign flipped) — the standard recall fix for sign-LSH, since a near
+    * neighbor sitting close to one hyperplane lands one bit away. Probing
+    * is query-side only: the corpus keeps exactly one bucket per vector,
+    * so the candidate join stays a bucket equi-join touching
+    * ~(planes+1)/2^planes of the corpus per query. Recall < 1 by
+    * construction (documented); `planes` tunes the recall/cost point. */
   def lshTopK(
       queries: DataFrame, corpus: DataFrame,
-      idCol: String, vecCol: String, k: Int, planes: Int = 6, dims: Int = 64): DataFrame = {
+      idCol: String, vecCol: String, k: Int, planes: Int = 6, dims: Int = 64,
+      multiProbe: Boolean = true, tables: Int = 1): DataFrame = {
+    // mean-centered hashing (see lshBucket doc): one tiny aggregate up
+    // front, then thresholds are plan-time literals
+    val mean = dimMeans(corpus, vecCol)
+    val thrs = (0 until tables).map(t => planeThresholds(mean, planes, dims, t))
+    // query probes: per table, own bucket (+ hamming-1 flips when probing)
+    val probeBuckets = array((0 until tables).flatMap { t =>
+      val own = lshBucket(col(vecCol), planes, dims, t, thrs(t))
+      if (multiProbe) own +: (0 until planes).map(p => own.bitwiseXOR(lit(1L << p)))
+      else Seq(own)
+    }: _*)
     val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"),
-      lshBucket(col(vecCol), planes, dims).as("bucket"))
+      explode(probeBuckets).as("bucket"))
+    // corpus: one bucket per table per vector (the classic L-tables
+    // space-for-recall trade: index size × L, candidates still bucket-join)
     val c = corpus.select(col(idCol).as("cand_id"), col(vecCol).as("cv"),
-      lshBucket(col(vecCol), planes, dims).as("bucket"))
+      explode(array((0 until tables).map(t =>
+        lshBucket(col(vecCol), planes, dims, t, thrs(t))): _*)).as("bucket"))
     c.join(broadcast(q), Seq("bucket"))
       .withColumn("sim", cosine(col("qv"), col("cv")))
+      // a pair can collide in several tables/probes — dedup before ranking
+      .groupBy(col("query_id"), col("cand_id"))
+      .agg(max(col("sim")).as("sim"))
       .withColumn("rnk", row_number().over(
         Window.partitionBy(col("query_id")).orderBy(col("sim").desc, col("cand_id").asc)))
       .filter(col("rnk") <= k)
@@ -107,7 +150,17 @@ object Similarity {
 
     val c = corpus.select(col(idCol).as("cand_id"), col(vecCol).as("cv"))
       .withColumn("features", array_to_vector(col("cv").cast("array<double>")))
-    val model = new KMeans().setK(nCentroids).setSeed(42L).setMaxIter(10).fit(c)
+    // Train centroids on a bounded sample: KMeans quality saturates long
+    // before 100k points, and fitting on the full corpus would make the
+    // training pass O(corpus × iterations) — the one 100 TB scale hazard
+    // this operator had. Seeded sampling keeps the centroids (and thus the
+    // rows-only output) deterministic for a fixed corpus partitioning.
+    val trainCap = 100000L
+    val n = c.count()
+    val train =
+      if (n > trainCap) c.sample(withReplacement = false, trainCap.toDouble / n, seed = 42L)
+      else c
+    val model = new KMeans().setK(nCentroids).setSeed(42L).setMaxIter(10).fit(train)
     val assigned = model.transform(c)
       .select(col("cand_id"), col("cv"), col("prediction").as("bucket"))
 

@@ -4,6 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.Tables
+import Parity.dsum
 
 /** Round-3 catalog promotions: components that were unit-test-only get
   * driver-checked CORRECTNESS entries (madlib vector functions, the
@@ -73,11 +74,17 @@ object Extras {
     * rtrim recovers the raw value. */
   def qCharPadding(spark: SparkSession, dir: String): DataFrame = {
     val nation = Tables.load(spark, dir, "nation")
+    // EXTERNAL table over an absolute fixture path: a managed table's
+    // warehouse directory outlives the JVM (the in-memory catalog doesn't),
+    // so a re-run's CREATE TABLE would collide with the stale directory.
+    val tag = dir.replaceAll("[^a-zA-Z0-9.]", "_")
+    val base = new java.io.File(s"target/tmp/char_nation_$tag").getAbsolutePath
+    nation.select(col("n_nationkey"), col("n_name"), col("n_regionkey"))
+      .write.mode("overwrite").parquet(base)
     spark.sql("DROP TABLE IF EXISTS graft_char_nation")
     spark.sql(
-      "CREATE TABLE graft_char_nation (n_nationkey INT, n_name CHAR(25), n_regionkey INT) USING parquet")
-    nation.select(col("n_nationkey"), col("n_name"), col("n_regionkey"))
-      .write.insertInto("graft_char_nation")
+      "CREATE TABLE graft_char_nation (n_nationkey INT, n_name CHAR(25), n_regionkey INT) " +
+        s"USING parquet LOCATION '$base'")
     spark.table("graft_char_nation")
       .select(
         col("n_nationkey"),
@@ -119,6 +126,52 @@ object Extras {
     FROM orders
     WHERE o_orderkey <= 500
     ORDER BY o_orderkey"""
+
+  /** Partitioned table lifecycle via the ALTER path (reference
+    * AlterTableAddPartitionStmt/AlterTableDropPartitionStmt): lay out
+    * parquet files by partition, declare an EXTERNAL partitioned table,
+    * register each partition with ALTER TABLE ADD PARTITION, drop one with
+    * DROP PARTITION, then aggregate — the scan must prune to the two
+    * surviving partitions (partition pruning is the core scale mechanism
+    * this exercises). Oracle: same aggregate minus the dropped status. */
+  def qPartitionedAlter(spark: SparkSession, dir: String): DataFrame = {
+    import graft.Ddl
+    val tag = dir.replaceAll("[^a-zA-Z0-9.]", "_")
+    // absolute path: a relative LOCATION resolves against the warehouse
+    // dir, silently pointing the table at an empty directory
+    val base = new java.io.File(s"target/tmp/part_orders_$tag").getAbsolutePath
+    if (!new java.io.File(s"$base/_SUCCESS").exists()) {
+      Tables.load(spark, dir, "orders")
+        .write.partitionBy("o_orderstatus").mode("overwrite").parquet(base)
+    }
+    spark.sql("DROP TABLE IF EXISTS graft_part_orders")
+    spark.sql(
+      """CREATE TABLE graft_part_orders (
+        |  o_orderkey BIGINT, o_custkey BIGINT, o_totalprice DOUBLE,
+        |  o_orderdate TIMESTAMP_NTZ, o_orderpriority STRING)
+        |USING parquet PARTITIONED BY (o_orderstatus STRING)
+        |LOCATION '""".stripMargin.replaceAll("\n", " ") + base + "'")
+    Seq("F", "O", "P").foreach(s =>
+      Ddl.addPartition(spark, "graft_part_orders", s"o_orderstatus='$s'"))
+    Ddl.dropPartition(spark, "graft_part_orders", "o_orderstatus='P'")
+    spark.table("graft_part_orders")
+      .groupBy(col("o_orderstatus"))
+      .agg(
+        count(lit(1)).as("n"),
+        dsum(col("o_totalprice")).as("sum_price"),
+        min(col("o_orderkey")).as("min_key"))
+      .orderBy(col("o_orderstatus"))
+  }
+
+  val qPartitionedAlterSql: String = s"""
+    SELECT o_orderstatus,
+           COUNT(*) AS n,
+           ${Parity.dsumSql("o_totalprice")} AS sum_price,
+           MIN(o_orderkey) AS min_key
+    FROM orders
+    WHERE o_orderstatus <> 'P'
+    GROUP BY o_orderstatus
+    ORDER BY o_orderstatus"""
 
   /** RIGHT SEMI JOIN shape (reference JoinOperator.java:27): semantically a
     * semi-join preserving the RIGHT input; Spark expresses it as left-semi

@@ -1,0 +1,83 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** ALTER TABLE / SHOW / LOAD DATA shims (reference:
+  * fe/.../analysis/AlterTable*.java, ShowStatsStmt.java, LoadDataStmt.java).
+  */
+class DdlSpec extends SparkSpec {
+
+  private def tmpDir(name: String): String = {
+    val d = java.nio.file.Files.createTempDirectory(name).toFile
+    d.deleteOnExit()
+    d.getAbsolutePath
+  }
+
+  test("ALTER TABLE ADD COLUMNS: old files read NULL for the new column") {
+    spark.sql("DROP TABLE IF EXISTS ddl_add_t")
+    spark.sql("CREATE TABLE ddl_add_t (k INT, v STRING) USING parquet")
+    spark.sql("INSERT INTO ddl_add_t VALUES (1, 'a')")
+    Ddl.addColumns(spark, "ddl_add_t", "extra DOUBLE")
+    val row = spark.table("ddl_add_t").select("k", "extra").collect()(0)
+    assert(row.getInt(0) === 1 && row.isNullAt(1))
+    spark.sql("INSERT INTO ddl_add_t VALUES (2, 'b', 2.5)")
+    assert(spark.table("ddl_add_t").where("extra = 2.5").count() === 1)
+    spark.sql("DROP TABLE ddl_add_t")
+  }
+
+  test("DROP COLUMN shim narrows an external table's schema in place") {
+    val loc = tmpDir("ddl_drop")
+    spark.sql("DROP TABLE IF EXISTS ddl_drop_t")
+    spark.sql(s"CREATE TABLE ddl_drop_t (k INT, v STRING, dead INT) USING parquet LOCATION '$loc'")
+    spark.sql("INSERT INTO ddl_drop_t VALUES (1, 'a', 99)")
+    Ddl.dropColumn(spark, "ddl_drop_t", "dead")
+    val schema = spark.table("ddl_drop_t").schema.fieldNames.toSeq
+    assert(schema === Seq("k", "v"))
+    // data written before the drop still reads (parquet resolves by name)
+    assert(spark.table("ddl_drop_t").where("k = 1 AND v = 'a'").count() === 1)
+    spark.sql("DROP TABLE ddl_drop_t")
+  }
+
+  test("ADD/DROP PARTITION + SHOW PARTITIONS lifecycle") {
+    val loc = tmpDir("ddl_part")
+    spark.sql("DROP TABLE IF EXISTS ddl_part_t")
+    spark.sql(s"CREATE TABLE ddl_part_t (k INT) USING parquet PARTITIONED BY (p STRING) LOCATION '$loc'")
+    Ddl.addPartition(spark, "ddl_part_t", "p='a'")
+    Ddl.addPartition(spark, "ddl_part_t", "p='b'")
+    assert(Ddl.showPartitions(spark, "ddl_part_t").count() === 2)
+    spark.sql("INSERT INTO ddl_part_t PARTITION (p='a') VALUES (1)")
+    Ddl.dropPartition(spark, "ddl_part_t", "p='b'")
+    assert(Ddl.showPartitions(spark, "ddl_part_t").count() === 1)
+    assert(spark.table("ddl_part_t").count() === 1)
+    spark.sql("DROP TABLE ddl_part_t")
+  }
+
+  test("SHOW TABLE STATS / COLUMN STATS / FILES after COMPUTE STATS") {
+    spark.sql("DROP TABLE IF EXISTS ddl_stats_t")
+    spark.sql("CREATE TABLE ddl_stats_t (k INT, v STRING) USING parquet")
+    spark.sql("INSERT INTO ddl_stats_t VALUES (1, 'x'), (2, 'y'), (2, 'z')")
+    Ddl.computeStats(spark, "ddl_stats_t")
+    val stats = Ddl.showTableStats(spark, "ddl_stats_t").collect()
+    assert(stats.length === 1 && stats(0).getString(1).contains("3 rows"))
+    val colStats = Ddl.showColumnStats(spark, "ddl_stats_t", "k")
+      .collect().map(r => (r.getString(0), r.getString(1))).toMap
+    assert(colStats("distinct_count") === "2")
+    assert(Ddl.showFiles(spark, "ddl_stats_t").count() >= 1)
+    spark.sql("DROP TABLE ddl_stats_t")
+  }
+
+  test("LOAD DATA moves files into the table and they become visible") {
+    import spark.implicits._
+    val src = tmpDir("ddl_load_src") + "/stage"
+    Seq((10, "m"), (11, "n")).toDF("k", "v").write.mode("overwrite").parquet(src)
+    spark.sql("DROP TABLE IF EXISTS ddl_load_t")
+    spark.sql("CREATE TABLE ddl_load_t (k INT, v STRING) USING parquet")
+    spark.sql("INSERT INTO ddl_load_t VALUES (1, 'a')")
+    Ddl.loadData(spark, src, "ddl_load_t")
+    assert(spark.table("ddl_load_t").count() === 3)
+    // LOAD is a move, not a copy: staged data files are gone
+    val left = new java.io.File(src).listFiles()
+    assert(left == null || !left.exists(f => f.getName.endsWith(".parquet")))
+    spark.sql("DROP TABLE ddl_load_t")
+  }
+}
