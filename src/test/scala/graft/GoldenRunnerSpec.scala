@@ -28,10 +28,10 @@ class GoldenRunnerSpec extends SparkSpec {
     case x => x.toString
   }
 
-  test("golden corpus matches expected rows and types") {
+  private def runCorpus(resource: String): Unit = {
     Tables.ensureViews(spark, "/root/testdata/sf0.001")
     val src = scala.io.Source.fromInputStream(
-      getClass.getResourceAsStream("/golden/basic.test"), "UTF-8").mkString
+      getClass.getResourceAsStream(resource), "UTF-8").mkString
     val cases = parse(src)
     assert(cases.nonEmpty)
     cases.foreach { c =>
@@ -41,5 +41,13 @@ class GoldenRunnerSpec extends SparkSpec {
       val gotRows = df.collect().map(_.toSeq.map(render).mkString(",")).toSeq
       assert(gotRows === c.rows, s"rows for: ${c.sql}")
     }
+  }
+
+  test("golden corpus matches expected rows and types") {
+    runCorpus("/golden/basic.test")
+  }
+
+  test("expr golden corpus (reference expr-test.cc shapes) matches") {
+    runCorpus("/golden/expr.test")
   }
 }
