@@ -47,6 +47,24 @@ object EventStream {
     * FlatMapGroupsWithStateExec — session_window sidesteps the operator
     * entirely.)
     */
+  /** Stream-static enrichment: join the event stream against a static
+    * dimension (the training-pipeline shape "tail the event log, attach
+    * user/document metadata"). On a cluster the static side is broadcast
+    * per micro-batch — no stream-side shuffle, unbounded-state-free. */
+  def enriched(events: DataFrame, dim: DataFrame, key: String = "user_id"): DataFrame =
+    events.join(org.apache.spark.sql.functions.broadcast(dim), Seq(key), "left_outer")
+
+  /** Streaming exact dedup on event_id with watermark-bounded state
+    * (dropDuplicatesWithinWatermark): duplicates arriving within the
+    * watermark horizon are dropped; state for old keys evicts with the
+    * watermark instead of growing forever — the streaming twin of the
+    * batch `Dedup.exact` operator. */
+  def dedupedWithinWatermark(events: DataFrame, watermark: String = "2 hours"): DataFrame =
+    events
+      .withColumn("ts", col("ts").cast("timestamp"))
+      .withWatermark("ts", watermark)
+      .dropDuplicatesWithinWatermark("event_id")
+
   def sessionize(events: DataFrame, gap: String = "30 minutes",
       watermark: Option[String] = Some("2 hours")): DataFrame = {
     val base = events.withColumn("ts", col("ts").cast("timestamp"))

@@ -40,6 +40,44 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("stream-static join enriches events with dimension rows per micro-batch") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val dim = (0L until 5L).map(u => (u, s"user_$u")).toDF("user_id", "user_name")
+    val mem = MemoryStream[EventStream.Event]
+    val q = EventStream.enriched(mem.toDF(), dim).writeStream
+      .format("memory").queryName("enriched_events").outputMode("append").start()
+    try {
+      mem.addData(sampleEvents)
+      q.processAllAvailable()
+      val got = spark.table("enriched_events")
+      assert(got.count() === 100)
+      // users 0-4 resolve; 5,6 fall outside the dim -> left-outer nulls
+      assert(got.filter(col("user_name").isNull).select("user_id").distinct()
+        .collect().map(_.getLong(0)).toSet === Set(5L, 6L))
+      assert(got.filter(col("user_id") === 2L).select("user_name").distinct()
+        .collect()(0).getString(0) === "user_2")
+    } finally q.stop()
+  }
+
+  test("streaming dedup within watermark drops duplicate event_ids") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[EventStream.Event]
+    val q = EventStream.dedupedWithinWatermark(mem.toDF()).writeStream
+      .format("memory").queryName("deduped_events").outputMode("append").start()
+    try {
+      val batch = sampleEvents.take(20)
+      mem.addData(batch)
+      q.processAllAvailable()
+      mem.addData(batch.take(10)) // exact duplicates within the horizon
+      q.processAllAvailable()
+      val got = spark.table("deduped_events")
+      assert(got.count() === 20)
+      assert(got.select("event_id").distinct().count() === 20)
+    } finally q.stop()
+  }
+
   test("streaming sessionization equals batch session_window on bounded replay") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
