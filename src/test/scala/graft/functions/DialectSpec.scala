@@ -37,9 +37,18 @@ class DialectSpec extends SparkSpec {
     assert(sql1("quotient(13, 4)") === 3L)
     assert(sql1("quotient(-13, 4)") === -3L) // truncates toward zero
     assert(sql1("fmod(10.5, 3.0)").asInstanceOf[Double] === 1.5)
-    assert(sql1("truncate(3.4567, 2)").asInstanceOf[Double] === 3.45)
-    assert(sql1("truncate(-3.4567, 2)").asInstanceOf[Double] === -3.45)
-    assert(sql1("truncate(3.99)").asInstanceOf[Double] === 3.0)
+    // decimal in -> decimal out (exact), double in -> double out
+    assert(sql1("CAST(truncate(3.4567, 2) AS DOUBLE)").asInstanceOf[Double] === 3.45)
+    assert(sql1("CAST(truncate(-3.4567, 2) AS DOUBLE)").asInstanceOf[Double] === -3.45)
+    assert(sql1("truncate(CAST(3.99 AS DOUBLE))").asInstanceOf[Double] === 3.0)
+    assert(sql1("truncate(CAST(-3.4567 AS DOUBLE), 2)").asInstanceOf[Double] === -3.45)
+    // exact past 2^53: the old double round-trip lost the low digits
+    assert(sql1("CAST(truncate(CAST('123456789012345678.987' AS DECIMAL(21,3)), 2) AS STRING)")
+      === "123456789012345678.980")
+    assert(sql1("CAST(truncate(CAST('-123456789012345678.987' AS DECIMAL(21,3)), 0) AS STRING)")
+      === "-123456789012345678.000")
+    // strright(s, 0) is '' (substr(s, -0) would return the whole string)
+    assert(sql1("strright('hello', 0)") === "")
     // any division by zero is NULL under ansi=false (Impala x/0 → NULL too)
     assert(sql1("is_inf(CAST(1.0 AS DOUBLE) / CAST(0.0 AS DOUBLE))") === null)
     assert(sql1("is_inf(CAST('Infinity' AS DOUBLE))") === true)
