@@ -57,8 +57,13 @@ object TextAnalysis {
     * composition so it pushes into codegen (and mirrors into plain SQL). */
   def langGuess(text: Column): Column = {
     val t = lower(text)
+    // one regex pass per language: |distinct markers matched| equals the
+    // sum of per-marker indicators (each contributes 0/1), so results are
+    // bit-identical to the per-word rlike form while scanning the text 5×
+    // less (word boundaries disambiguate prefix overlaps like a/and)
     def hits(words: Seq[String]): Column =
-      words.map(w => when(t.rlike(s"\\b$w\\b"), 1).otherwise(0)).reduce(_ + _)
+      size(array_distinct(regexp_extract_all(
+        t, lit("\\b(" + words.mkString("|") + ")\\b"), lit(1))))
     val en = hits(Seq("the", "and", "of", "is", "a"))
     val de = hits(Seq("der", "die", "das", "und", "ist"))
     val fr = hits(Seq("le", "la", "et", "est", "les"))
