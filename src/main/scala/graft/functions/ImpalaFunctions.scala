@@ -26,6 +26,12 @@ object ImpalaFunctions {
   def builders: Map[String, Builder] = Map(
     // ---- utility (utility-functions.cc) ----
     "fnv_hash" -> { case Seq(e) => FnvHash(e) },
+    // user()/version() Spark ships natively; the reference's remaining
+    // session-introspection trio (utility-functions.cc:76-101) maps to the
+    // driver process: effective_user = the authenticated user, pid = the
+    // engine process id (captured at registration, like the impalad pid).
+    "effective_user" -> { case Seq() => CurrentUser() },
+    "pid" -> { case Seq() => Literal(ProcessHandle.current().pid().toInt) },
 
     // ---- conditional family (conditional-functions.cc) ----
     // Impala isnull(a,b) is 2-arg coalesce; keep Spark's 1-arg isnull too.

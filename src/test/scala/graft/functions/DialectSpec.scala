@@ -131,6 +131,12 @@ class DialectSpec extends SparkSpec {
       .collect()(0).getString(0).split(", ").toSet === Set("a", "b"))
   }
 
+  test("session introspection: effective_user/pid/user/version resolve") {
+    assert(sql1("effective_user()") === sql1("user()"))
+    assert(sql1("pid()").asInstanceOf[Int] > 0)
+    assert(sql1("version()").toString.nonEmpty)
+  }
+
   test("madlib vector aliases map onto ArrayType ops") {
     assert(sql1("madlib_vector_get(1, madlib_vector(1.5, 2.5, 3.5))") === 2.5)
     assert(sql1("madlib_encode_vector(madlib_vector(1.5, 2.5))") === "1.5,2.5")
