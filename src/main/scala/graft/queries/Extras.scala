@@ -173,6 +173,42 @@ object Extras {
     GROUP BY o_orderstatus
     ORDER BY o_orderstatus"""
 
+  /** As-of join (point-in-time enrichment): every event picks up the
+    * latest "rate update" at-or-before its timestamp per event_type. The
+    * update stream is derived deterministically from the events table
+    * (every 50th event, ties pre-aggregated with max). Oracle: DuckDB's
+    * native ASOF LEFT JOIN — a strong independent check of the union-tag
+    * windowed formulation in [[graft.operators.AsofJoin]]. */
+  def qAsofJoin(spark: SparkSession, dir: String): DataFrame = {
+    val events = Tables.load(spark, dir, "events")
+    val updates = events.filter(col("event_id") % 50 === 0)
+      .groupBy(col("event_type"), col("ts"))
+      .agg(max(col("value")).as("rate"))
+    val joined = graft.operators.AsofJoin.asofJoin(
+      events, updates, key = "event_type", ts = "ts", valueCols = Seq("rate"))
+    joined.groupBy(col("event_type"))
+      .agg(
+        count(lit(1)).as("n"),
+        count(col("rate")).as("n_matched"),
+        dsum(col("rate")).as("sum_rate"))
+      .orderBy(col("event_type"))
+  }
+
+  val qAsofJoinSql: String = """
+    WITH upd AS (
+      SELECT event_type, ts, MAX(value) AS rate
+      FROM events
+      WHERE event_id % 50 = 0
+      GROUP BY event_type, ts)
+    SELECT e.event_type,
+           COUNT(*) AS n,
+           COUNT(u.rate) AS n_matched,
+           CAST(SUM(CAST(u.rate AS DECIMAL(28,2))) AS DOUBLE) AS sum_rate
+    FROM events e ASOF LEFT JOIN upd u
+      ON e.event_type = u.event_type AND e.ts >= u.ts
+    GROUP BY e.event_type
+    ORDER BY e.event_type"""
+
   /** RIGHT SEMI JOIN shape (reference JoinOperator.java:27): semantically a
     * semi-join preserving the RIGHT input; Spark expresses it as left-semi
     * with sides swapped and the planner picks the build side (with AQE it
