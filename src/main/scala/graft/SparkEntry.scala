@@ -34,6 +34,7 @@ object SparkEntry {
     "q_join_cross" -> q(Joins.qJoinCross),
     "q_join_right_semi" -> q(Extras.qJoinRightSemi),
     "q_asof_join" -> q(Extras.qAsofJoin),
+    "q_range_join" -> q(Extras.qRangeJoin),
     // §2.5 window / analytic
     "q_window_rank" -> q(Windows.qWindowRank),
     "q_window_lag" -> q(Windows.qWindowLag),
@@ -155,6 +156,7 @@ object SparkEntry {
     "q_fn_json" -> TpchShapes2.qFnJsonSql,
     "q_join_right_semi" -> Extras.qJoinRightSemiSql,
     "q_asof_join" -> Extras.qAsofJoinSql,
+    "q_range_join" -> Extras.qRangeJoinSql,
     "q_fn_tz" -> Extras.qFnTzSql,
     "q_madlib_vector" -> Extras.qMadlibVectorSql,
     "q_char_padding" -> Extras.qCharPaddingSql,

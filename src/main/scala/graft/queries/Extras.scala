@@ -209,6 +209,47 @@ object Extras {
     GROUP BY e.event_type
     ORDER BY e.event_type"""
 
+  /** Range (point-in-interval) join: every 200th event spawns a ±60s
+    * interval; all events of the same type landing inside an interval
+    * match. Oracle: DuckDB's native inequality join — an independent
+    * check of the time-binned equi-join formulation in
+    * [[graft.operators.RangeJoin]]. */
+  def qRangeJoin(spark: SparkSession, dir: String): DataFrame = {
+    val events = Tables.load(spark, dir, "events")
+    val intervals = events.filter(col("event_id") % 200 === 0)
+      .select(
+        col("event_type"),
+        col("event_id").as("interval_id"),
+        (col("ts") - expr("INTERVAL 60 SECONDS")).as("w_start"),
+        (col("ts") + expr("INTERVAL 60 SECONDS")).as("w_end"))
+    val points = events.select(col("event_type"), col("event_id"), col("ts"))
+    graft.operators.RangeJoin.pointInInterval(
+        points, intervals, key = "event_type", ts = "ts",
+        startCol = "w_start", endCol = "w_end", binSeconds = 120L)
+      .groupBy(col("event_type"))
+      .agg(
+        count(lit(1)).as("n_matches"),
+        countDistinct(col("interval_id")).as("n_intervals_hit"),
+        countDistinct(col("event_id")).as("n_events_hit"))
+      .orderBy(col("event_type"))
+  }
+
+  val qRangeJoinSql: String = """
+    WITH iv AS (
+      SELECT event_type, event_id AS interval_id,
+             ts - INTERVAL 60 SECOND AS w_start,
+             ts + INTERVAL 60 SECOND AS w_end
+      FROM events WHERE event_id % 200 = 0)
+    SELECT e.event_type,
+           COUNT(*) AS n_matches,
+           COUNT(DISTINCT iv.interval_id) AS n_intervals_hit,
+           COUNT(DISTINCT e.event_id) AS n_events_hit
+    FROM events e JOIN iv
+      ON e.event_type = iv.event_type
+     AND e.ts >= iv.w_start AND e.ts <= iv.w_end
+    GROUP BY e.event_type
+    ORDER BY e.event_type"""
+
   /** RIGHT SEMI JOIN shape (reference JoinOperator.java:27): semantically a
     * semi-join preserving the RIGHT input; Spark expresses it as left-semi
     * with sides swapped and the planner picks the build side (with AQE it
