@@ -74,10 +74,16 @@ object Ddl {
       s"REPLACE/DROP COLUMNS shim supports external tables only; $table is ${meta.tableType.name}")
     val loc = meta.location.toString
     val partCols = meta.partitionColumnNames
+    // Per-field name+catalogString (NOT a string-split of toDDL, which
+    // breaks on types containing commas, e.g. DECIMAL(10,2)).
     val partClause =
       if (partCols.isEmpty) ""
-      else meta.partitionSchema.toDDL
-        .split(",").map(_.trim).mkString(" PARTITIONED BY (", ", ", ")")
+      else meta.partitionSchema.fields
+        .map(f => s"${f.name} ${f.dataType.catalogString}")
+        .mkString(" PARTITIONED BY (", ", ", ")")
+    // Validate the replacement schema BEFORE dropping — a malformed
+    // colsDdl must not lose the existing table definition.
+    StructType.fromDDL(colsDdl)
     spark.sql(s"DROP TABLE $table")
     spark.sql(s"CREATE TABLE $table ($colsDdl) USING parquet$partClause LOCATION '$loc'")
     if (partCols.nonEmpty) spark.sql(s"MSCK REPAIR TABLE $table")
@@ -155,7 +161,18 @@ object Ddl {
       if (srcFs.getFileStatus(src).isDirectory)
         srcFs.listStatus(src).toSeq.filter(f => f.isFile && !f.getPath.getName.startsWith("_"))
       else Seq(srcFs.getFileStatus(src))
-    files.foreach(f => fs.rename(f.getPath, new org.apache.hadoop.fs.Path(dest, f.getPath.getName)))
+    files.foreach { f =>
+      val target = new org.apache.hadoop.fs.Path(dest, f.getPath.getName)
+      // Hadoop rename returns false (no throw) for cross-filesystem moves
+      // or an existing destination — surface that instead of silently
+      // "loading" nothing; fall back to copy+delete across filesystems.
+      val moved = srcFs.getUri == fs.getUri && fs.rename(f.getPath, target)
+      if (!moved) {
+        val copied = org.apache.hadoop.fs.FileUtil.copy(
+          srcFs, f.getPath, fs, target, /*deleteSource=*/ true, conf)
+        require(copied, s"LOAD DATA: failed to move ${f.getPath} to $target")
+      }
+    }
     partitionSpec.foreach(spec => addPartition(spark, table, spec))
     refresh(spark, table)
   }

@@ -29,6 +29,13 @@ object AsofJoin {
       left: DataFrame, right: DataFrame,
       key: String, ts: String, valueCols: Seq[String]): DataFrame = {
     val leftCols = left.columns.toSeq
+    // The union-tag formulation fills valueCols via a running window over
+    // BOTH sides — if left already had a column named like a value column,
+    // left's own values would silently act as fill sources. Enforce the
+    // disjointness contract (RangeJoin documents the same requirement).
+    val clash = leftCols.toSet.intersect(valueCols.toSet)
+    require(clash.isEmpty,
+      s"asofJoin: left columns must be disjoint from valueCols; clash: ${clash.mkString(", ")}")
     val l = left.withColumn("__asof_side", lit(1))
     val r = right.select((key +: ts +: valueCols).map(col): _*)
       .withColumn("__asof_side", lit(0))

@@ -97,6 +97,10 @@ object FunctionCorpus {
   // boundary cell between oracle *builds* even when the local DuckDB is
   // bit-identical (observed: driver-red, local-green in r2). Those live in
   // MathFunctionsSpec (tolerance-checked) + the golden expr corpus instead.
+  // sq stays DOUBLE on purpose: IEEE mandates correctly-rounded sqrt, so
+  // the double is bit-stable everywhere, while a narrowing double→decimal
+  // cast of an irrational value takes a build-dependent rounding path
+  // (string-based HALF_UP vs binary scale-multiply) — the r3 driver red.
   def qFnMath(spark: SparkSession, dir: String): DataFrame =
     run(spark, dir, """
       SELECT l_orderkey, l_linenumber,
@@ -104,7 +108,7 @@ object FunctionCorpus {
              CAST(ceil(l_extendedprice / 100) AS BIGINT) AS ce,
              CAST(floor(l_extendedprice / 100) AS BIGINT) AS fl,
              CAST(sign(l_quantity - 25) AS INT)        AS sg,
-             CAST(sqrt(l_quantity) AS DECIMAL(20,10))  AS sq,
+             CAST(sqrt(l_quantity) AS DOUBLE)          AS sq,
              pmod(l_partkey, 7)                        AS pm,
              l_partkey % 5                             AS md,
              quotient(l_partkey, 7)                    AS qu,
@@ -124,7 +128,7 @@ object FunctionCorpus {
              CAST(ceil(l_extendedprice / 100) AS BIGINT) AS ce,
              CAST(floor(l_extendedprice / 100) AS BIGINT) AS fl,
              CAST(sign(l_quantity - 25) AS INT)        AS sg,
-             CAST(sqrt(l_quantity) AS DECIMAL(20,10))  AS sq,
+             CAST(sqrt(l_quantity) AS DOUBLE)          AS sq,
              ((l_partkey % 7) + 7) % 7                 AS pm,
              l_partkey % 5                             AS md,
              CAST(floor(l_partkey / 7) AS BIGINT)      AS qu,
@@ -190,11 +194,15 @@ object FunctionCorpus {
   // propagation rules; decimal DIVISION intermediate scales legitimately
   // differ between engines (Spark pads to max(6,s1+s2+1), DuckDB keeps
   // dividend-based scale) and is exercised via double division instead.
+  // EVERY output column carries an explicit outer CAST: the driver's hash
+  // is type-tagged and each engine's (and each DuckDB build's) precision
+  // propagation for +/- differs — an unpinned result type is a driver red
+  // even when all cell values match (the r3 residual failure).
   def qFnDecimal(spark: SparkSession, dir: String): DataFrame =
     run(spark, dir, """
       SELECT l_orderkey, l_linenumber,
-             CAST(l_extendedprice AS DECIMAL(12,2)) + CAST(l_tax AS DECIMAL(8,2))    AS dadd,
-             CAST(l_extendedprice AS DECIMAL(12,2)) - CAST(l_discount AS DECIMAL(8,2)) AS dsub,
+             CAST(CAST(l_extendedprice AS DECIMAL(12,2)) + CAST(l_tax AS DECIMAL(8,2)) AS DECIMAL(14,2))    AS dadd,
+             CAST(CAST(l_extendedprice AS DECIMAL(12,2)) - CAST(l_discount AS DECIMAL(8,2)) AS DECIMAL(14,2)) AS dsub,
              CAST(CAST(l_quantity AS DECIMAL(10,2)) * CAST(l_discount AS DECIMAL(8,2)) AS DECIMAL(20,4)) AS dmul,
              CAST(CAST(l_extendedprice AS DECIMAL(12,2)) % CAST(7 AS DECIMAL(4,0)) AS DECIMAL(12,2)) AS dmod,
              CAST(CAST(l_extendedprice AS DECIMAL(12,2)) AS STRING)                  AS dstr,
@@ -206,8 +214,8 @@ object FunctionCorpus {
 
   val qFnDecimalSql: String = """
       SELECT l_orderkey, l_linenumber,
-             CAST(l_extendedprice AS DECIMAL(12,2)) + CAST(l_tax AS DECIMAL(8,2))    AS dadd,
-             CAST(l_extendedprice AS DECIMAL(12,2)) - CAST(l_discount AS DECIMAL(8,2)) AS dsub,
+             CAST(CAST(l_extendedprice AS DECIMAL(12,2)) + CAST(l_tax AS DECIMAL(8,2)) AS DECIMAL(14,2))    AS dadd,
+             CAST(CAST(l_extendedprice AS DECIMAL(12,2)) - CAST(l_discount AS DECIMAL(8,2)) AS DECIMAL(14,2)) AS dsub,
              CAST(CAST(l_quantity AS DECIMAL(10,2)) * CAST(l_discount AS DECIMAL(8,2)) AS DECIMAL(20,4)) AS dmul,
              CAST(CAST(l_extendedprice AS DECIMAL(12,2)) % CAST(7 AS DECIMAL(4,0)) AS DECIMAL(12,2)) AS dmod,
              CAST(CAST(l_extendedprice AS DECIMAL(12,2)) AS VARCHAR)                 AS dstr,
