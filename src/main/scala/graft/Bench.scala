@@ -36,6 +36,11 @@ object Bench {
         // code and loads file metadata, so the timed run measures the
         // engine's steady-state throughput, not Janino compilation.
         fn(spark, warmDir).write.format("noop").mode("overwrite").save()
+        // The warm pass re-points the session temp views at warmDir; put
+        // them back BEFORE the timer, or every SQL entry pays 10 tables of
+        // schema inference inside its timed region (~0.5-1s of catalog
+        // bookkeeping that is not query execution).
+        Tables.ensureViews(spark, sfDir)
         val t0 = System.nanoTime()
         fn(spark, sfDir).write.format("noop").mode("overwrite").save()
         times(name) = (System.nanoTime() - t0) / 1e9

@@ -57,6 +57,8 @@ object SparkEntry {
     // LLM-data-pipeline operators (extension surface)
     "q_dedup_exact" -> q(LlmOps.qDedupExact),
     "q_dedup_minhash" -> q(LlmOps.qDedupMinhash),
+    "q_dedup_ngram" -> q(LlmOps.qDedupNgram),
+    "q_dedup_cosine" -> q(LlmOps.qDedupCosine),
     "q_text_stats" -> q(LlmOps.qTextStats),
     "q_text_fingerprints" -> q(LlmOps.qTextFingerprints),
     "q_sim_search" -> q(LlmOps.qSimSearch),
@@ -124,6 +126,8 @@ object SparkEntry {
     "q_fn_date" -> FunctionCorpus.qFnDateSql,
     "q_fn_cond" -> FunctionCorpus.qFnCondSql,
     "q_dedup_exact" -> LlmOps.qDedupExactSql,
+    "q_dedup_ngram" -> LlmOps.qDedupNgramSql,
+    "q_dedup_cosine" -> LlmOps.qDedupCosineSql,
     "q_text_stats" -> LlmOps.qTextStatsSql,
     "q_sim_search" -> LlmOps.qSimSearchSql,
     "q_json_scan" -> SourceSink.qJsonScanSql,

@@ -189,6 +189,26 @@ object Similarity {
       .select(col("query_id"), col("cand_id"), col("sim"), col("rnk"))
   }
 
+  /** Exact embedding-cosine near-duplicate pairs over ALL pairs of the
+    * given vectors (id_a < id_b, cosine >= threshold). DuckDB-mirrorable
+    * (sequential double folds both sides), unlike the LSH-bucketed
+    * [[cosineNearDupPairs]] whose candidate set depends on seeded
+    * hyperplanes.
+    *
+    * Scale contract: caller bounds the slice — all-pairs is O(N²); the
+    * 100 TB path is [[cosineNearDupPairs]] (bucket equi-join candidates,
+    * this exact kernel only on collisions). */
+  def cosineNearDupPairsExact(
+      vecs: DataFrame, idCol: String, vecCol: String,
+      threshold: Double): DataFrame = {
+    val a = vecs.select(col(idCol).as("id_a"), col(vecCol).as("va"))
+    val b = vecs.select(col(idCol).as("id_b"), col(vecCol).as("vb"))
+    a.join(b, col("id_a") < col("id_b"))
+      .withColumn("cos_sim", cosine(col("va"), col("vb")))
+      .filter(col("cos_sim") >= threshold)
+      .select(col("id_a"), col("id_b"), col("cos_sim"))
+  }
+
   /** Embedding-cosine near-duplicate pairs via LSH buckets (id_a < id_b,
     * cosine above threshold). Candidate generation is the bucket equi-join. */
   def cosineNearDupPairs(

@@ -31,6 +31,58 @@ object LlmOps {
     Dedup.minhashClusters(docs, "text", "doc_id").orderBy(col("doc_id"))
   }
 
+  /** n-gram Jaccard dedup: exact char-trigram jaccard over all pairs of a
+    * modulo-sampled doc slice (the oracle-checkable verification kernel;
+    * at scale the pair source is LSH candidates, not all-pairs). Integer
+    * set sizes divide exactly in IEEE doubles → bit-matches DuckDB. */
+  def qDedupNgram(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.load(spark, dir, "documents")
+    Dedup.ngramJaccardPairs(
+        docs.filter(col("doc_id") % 50 === 0), "text", "doc_id",
+        n = 3, threshold = 0.5)
+      .orderBy(col("id_a"), col("id_b"))
+  }
+
+  val qDedupNgramSql: String = """
+    WITH d AS (
+      SELECT doc_id,
+             list_distinct(list_transform(
+               generate_series(1, greatest(length(lower(text)) - 2, 1)),
+               i -> substr(lower(text), i, 3))) AS grams
+      FROM documents WHERE doc_id % 50 = 0)
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+           CAST(len(list_intersect(a.grams, b.grams)) AS DOUBLE) /
+           len(list_distinct(list_concat(a.grams, b.grams))) AS jaccard
+    FROM d a JOIN d b ON a.doc_id < b.doc_id
+    WHERE CAST(len(list_intersect(a.grams, b.grams)) AS DOUBLE) /
+          len(list_distinct(list_concat(a.grams, b.grams))) >= 0.5
+    ORDER BY id_a, id_b"""
+
+  /** Embedding-cosine near-dup pairs: exact all-pairs cosine over a
+    * modulo-sampled vector slice (same sequential-fold kernel the
+    * hash-matched q_sim_search proves bit-equal to DuckDB). The LSH-
+    * bucketed production path is exercised in LlmOpsSpec. */
+  def qDedupCosine(spark: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.load(spark, dir, "embeddings")
+    Similarity.cosineNearDupPairsExact(
+        emb.filter(col("vec_id") % 10 === 0), "vec_id", "embedding",
+        threshold = 0.25)
+      .orderBy(col("id_a"), col("id_b"))
+  }
+
+  val qDedupCosineSql: String = """
+    WITH e AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id % 10 = 0),
+    pairs AS (
+      SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+             list_sum(list_transform(list_zip(a.embedding, b.embedding),
+               x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE))) /
+             (sqrt(list_sum(list_transform(a.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) *
+              sqrt(list_sum(list_transform(b.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))) AS cos_sim
+      FROM e a JOIN e b ON a.vec_id < b.vec_id)
+    SELECT id_a, id_b, cos_sim
+    FROM pairs WHERE cos_sim >= 0.25
+    ORDER BY id_a, id_b"""
+
   /** Text analysis: token counts, ratios, quality, language-ID — mirrored
     * in DuckDB with equivalent regex/list SQL. */
   def qTextStats(spark: SparkSession, dir: String): DataFrame = {

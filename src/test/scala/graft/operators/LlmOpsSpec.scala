@@ -176,4 +176,31 @@ class LlmOpsSpec extends SparkSpec {
       assert(lshFull === 1.0)
     }
   }
+
+  test("ngram jaccard finds near/exact dups, orders pairs, respects threshold") {
+    val pairs = Dedup.ngramJaccardPairs(docs, "text", "doc_id", n = 3, threshold = 0.5)
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2))).toMap
+    assert(pairs(( 1L, 4L)) === 1.0)          // exact dup: identical gram sets
+    assert(pairs((1L, 2L)) > 0.8)             // near-dup: today vs tonight
+    assert(pairs.keys.forall { case (a, b) => a < b })
+    assert(!pairs.keys.exists { case (a, b) => a == 3L || b == 3L }) // unrelated
+  }
+
+  test("exact cosine near-dup pairs agree with the cosine expression; LSH variant is a subset") {
+    import spark.implicits._
+    val vecs = Seq(
+      (1L, Array(1.0f, 0.0f, 0.2f)),
+      (2L, Array(0.9f, 0.05f, 0.2f)),  // near-dup of 1
+      (3L, Array(-1.0f, 0.5f, 0.0f)),
+      (4L, Array(1.0f, 0.0f, 0.2f))    // exact dup of 1
+    ).toDF("vec_id", "embedding")
+    val exact = Similarity.cosineNearDupPairsExact(vecs, "vec_id", "embedding", 0.95)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(exact.contains((1L, 4L)) && exact.contains((1L, 2L)) && exact.contains((2L, 4L)))
+    assert(!exact.exists { case (a, b) => a == 3L || b == 3L })
+    // bucketed variant can only shrink the pair set (candidates ⊆ all pairs)
+    val bucketed = Similarity.cosineNearDupPairs(vecs, "vec_id", "embedding", 0.95, dims = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(bucketed.subsetOf(exact))
+  }
 }
