@@ -23,6 +23,7 @@ object Bench {
     Seq(warmDir, sfDir).foreach { d =>
       sources.Formats.ensureJsonFixture(spark, Tables.load(spark, d, "events"), d)
       sources.Formats.ensureCsvFixture(spark, Tables.load(spark, d, "nation"), d)
+      queries.Extras.ensureBucketedTables(spark, d)
     }
 
     val times = scala.collection.mutable.LinkedHashMap[String, Double]()

@@ -33,6 +33,7 @@ object SparkEntry {
     "q_join_right" -> q(Joins.qJoinRight),
     "q_join_cross" -> q(Joins.qJoinCross),
     "q_join_right_semi" -> q(Extras.qJoinRightSemi),
+    "q_bucketed_join" -> q(Extras.qBucketedJoin),
     "q_asof_join" -> q(Extras.qAsofJoin),
     "q_range_join" -> q(Extras.qRangeJoin),
     // §2.5 window / analytic
@@ -159,6 +160,7 @@ object SparkEntry {
     "q_intersect_except" -> TpchShapes2.qIntersectExceptSql,
     "q_fn_json" -> TpchShapes2.qFnJsonSql,
     "q_join_right_semi" -> Extras.qJoinRightSemiSql,
+    "q_bucketed_join" -> Extras.qBucketedJoinSql,
     "q_asof_join" -> Extras.qAsofJoinSql,
     "q_range_join" -> Extras.qRangeJoinSql,
     "q_fn_tz" -> Extras.qFnTzSql,

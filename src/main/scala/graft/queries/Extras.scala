@@ -44,6 +44,67 @@ object Extras {
     WHERE vec_id <= 200
     ORDER BY vec_id"""
 
+  /** Materialize a table bucketed+sorted on `key` once per sf dir (a
+    * fixture like the JSON/CSV scan fixtures — the timed query reads it,
+    * it is not part of the measured work). Handles the stale-warehouse-dir
+    * case: an in-memory catalog forgets tables across JVMs while the
+    * managed dir survives, which would otherwise fail the re-create. */
+  private def ensureBucketed(spark: SparkSession, dir: String, name: String,
+      key: String, buckets: Int = 8): String = {
+    val tag = dir.replaceAll("[^a-zA-Z0-9]", "_")
+    val tbl = s"${name}_bkt_$tag"
+    if (!spark.catalog.tableExists(tbl)) {
+      val loc = new org.apache.hadoop.fs.Path(
+        spark.conf.get("spark.sql.warehouse.dir") + s"/$tbl")
+      val fs = loc.getFileSystem(spark.sessionState.newHadoopConf())
+      if (fs.exists(loc)) fs.delete(loc, true)
+      // One file per bucket (repartition on the bucket key first): with
+      // multiple files per bucket Spark cannot trust the per-file sort
+      // order and re-sorts both sides; with one it elides the sorts too.
+      Tables.load(spark, dir, name)
+        .repartition(buckets, col(key))
+        .write.bucketBy(buckets, key).sortBy(key)
+        .format("parquet").saveAsTable(tbl)
+    }
+    tbl
+  }
+
+  /** Pre-create the bucketed join fixtures (called by Bench's prewarm so
+    * the one-time table write never lands inside a timed region). */
+  def ensureBucketedTables(spark: SparkSession, dir: String): Unit = {
+    ensureBucketed(spark, dir, "orders", "o_orderkey")
+    ensureBucketed(spark, dir, "lineitem", "l_orderkey")
+  }
+
+  /** Bucketed co-located join (SURVEY §2.8 / DistributedPlanner's
+    * partitioned-join path): both sides pre-bucketed and sorted on the
+    * join key with the same bucket count, so the sort-merge join needs
+    * NO exchange and NO sort — each task merges bucket i of both tables.
+    * At 100 TB this turns an all-to-all shuffle of two fact tables into a
+    * per-bucket local merge; the only shuffle left is the 5-row partial
+    * aggregate. BucketedJoinSpec asserts the exchange-free plan. Oracle:
+    * the identical join on the plain tables. */
+  def qBucketedJoin(spark: SparkSession, dir: String): DataFrame = {
+    ensureBucketedTables(spark, dir)
+    val tag = dir.replaceAll("[^a-zA-Z0-9]", "_")
+    val o = spark.table(s"orders_bkt_$tag")
+    val l = spark.table(s"lineitem_bkt_$tag")
+    o.join(l, o("o_orderkey") === l("l_orderkey"))
+      .groupBy(col("o_orderpriority"))
+      .agg(
+        count(lit(1)).as("n_items"),
+        dsum(col("l_extendedprice"), 2).as("rev"))
+      .orderBy(col("o_orderpriority"))
+  }
+
+  val qBucketedJoinSql: String = s"""
+    SELECT o_orderpriority,
+           COUNT(*) AS n_items,
+           ${Parity.dsumSql("l_extendedprice", 2)} AS rev
+    FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+    GROUP BY o_orderpriority
+    ORDER BY o_orderpriority"""
+
   /** External DataSource V2 scan (SeqSource — the ext-data-source
     * analogue): range filters push into the source, aggregation on top.
     * `v = id * 0.25` keeps every double sum exact, so the hash is
