@@ -1,6 +1,6 @@
 package graft.queries
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.Tables
@@ -28,26 +28,36 @@ object Aggregates {
     * several distinct sets in one query, a strict superset). */
   def qAggMinmaxDistinct(spark: SparkSession, dir: String): DataFrame = {
     val li = Tables.load(spark, dir, "lineitem")
-    // Plan choice that matters at scale: a var-length (string) min/max in
-    // the same Aggregate as DISTINCT sets forces the WHOLE aggregate into
-    // SortAggregate over the 4x-Expanded distinct stream (no fixed-width
-    // hash buffer for strings) — measured 3x slower at sf0.1. Splitting
-    // the string aggregate into its own non-expanded branch keeps the
-    // distinct expansion in HashAggregate; the final join is on the tiny
-    // grouped result.
+    // Plan choices that matter at scale:
+    //  - a var-length (string) min/max in the same Aggregate as DISTINCT
+    //    sets forces the WHOLE aggregate into SortAggregate over the
+    //    Expanded distinct stream (no fixed-width hash buffer for
+    //    strings) — measured 3x slower at sf0.1;
+    //  - MULTIPLE distinct sets in one Aggregate force Catalyst's
+    //    RewriteDistinctAggregates Expand: N sets → N+1 copies of every
+    //    input row through one partial aggregate. Three separate
+    //    single-distinct branches instead each plan as partial-dedup →
+    //    slim shuffle of distinct pairs → count, with NO row expansion;
+    //    the rejoin is on the 3-row grouped result. (Measured 3.2s →
+    //    under 2s at sf0.1; the same math holds at any scale because
+    //    Expand multiplies the full input, the branches only shuffle
+    //    per-branch distinct pairs.)
     val fixedWidth = li.groupBy(col("l_returnflag"))
       .agg(
         min(col("l_quantity")).as("min_qty"),
         max(col("l_quantity")).as("max_qty"),
         min(col("l_shipdate")).as("min_ship"),
         max(col("l_shipdate")).as("max_ship"),
-        countDistinct(col("l_partkey")).as("ndv_part"),
-        countDistinct(col("l_suppkey")).as("ndv_supp"),
-        countDistinct(col("l_orderkey"), col("l_linenumber")).as("ndv_line"),
         dsum(col("l_discount")).as("sum_disc"))
+    def ndv(alias: String, cols: Column*) =
+      li.groupBy(col("l_returnflag")).agg(countDistinct(cols.head, cols.tail: _*).as(alias))
+    val fixed2 = fixedWidth
+      .join(ndv("ndv_part", col("l_partkey")), Seq("l_returnflag"))
+      .join(ndv("ndv_supp", col("l_suppkey")), Seq("l_returnflag"))
+      .join(ndv("ndv_line", col("l_orderkey"), col("l_linenumber")), Seq("l_returnflag"))
     val varLength = li.groupBy(col("l_returnflag"))
       .agg(min(col("l_linestatus")).as("min_status"))
-    fixedWidth.join(varLength, Seq("l_returnflag"))
+    fixed2.join(varLength, Seq("l_returnflag"))
       .select(col("l_returnflag"), col("min_qty"), col("max_qty"), col("min_ship"),
         col("max_ship"), col("min_status"), col("ndv_part"), col("ndv_supp"),
         col("ndv_line"), col("sum_disc"))
