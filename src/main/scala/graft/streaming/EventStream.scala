@@ -65,6 +65,31 @@ object EventStream {
       .withWatermark("ts", watermark)
       .dropDuplicatesWithinWatermark("event_id")
 
+  /** Stream-stream interval join (attribution shape: match each left event
+    * with right-side events of the same key that occur within `within`
+    * AFTER it). Both sides carry watermarks and the join condition bounds
+    * event-time distance, so Spark evicts join state once the watermark
+    * passes — the state is (watermark + within) × arrival rate, never
+    * unbounded history. Works identically over batch DataFrames (the spec
+    * asserts stream == batch on a bounded replay). */
+  def intervalJoined(left: DataFrame, right: DataFrame,
+      key: String = "user_id", within: String = "15 minutes",
+      watermark: String = "1 hour"): DataFrame = {
+    val l = left
+      .select(col(key), col("ts").cast("timestamp").as("l_ts"), col("event_id").as("l_id"))
+      .withWatermark("l_ts", watermark)
+    val r = right
+      .select(col(key).as("__rk"), col("ts").cast("timestamp").as("r_ts"), col("event_id").as("r_id"))
+      .withWatermark("r_ts", watermark)
+    l.join(r,
+        col(key) === col("__rk") &&
+          col("r_ts") >= col("l_ts") &&
+          col("r_ts") <= col("l_ts") + expr(s"INTERVAL $within"))
+      .select(col(key), col("l_id"), col("r_id"),
+        col("l_ts").cast("timestamp_ntz").as("l_ts"),
+        col("r_ts").cast("timestamp_ntz").as("r_ts"))
+  }
+
   def sessionize(events: DataFrame, gap: String = "30 minutes",
       watermark: Option[String] = Some("2 hours")): DataFrame = {
     val base = events.withColumn("ts", col("ts").cast("timestamp"))

@@ -101,4 +101,37 @@ class StreamingSpec extends SparkSpec {
       assert(want.map(_._1) === (0L until 7L).toSet)
     } finally q.stop()
   }
+
+  test("stream-stream interval join equals the batch interval join on bounded replay") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val impressions = MemoryStream[EventStream.Event]
+    val clicks = MemoryStream[EventStream.Event]
+    // replay in event-time order: batches arriving BEHIND the watermark
+    // would be dropped (correct streaming semantics, but then stream !=
+    // unbounded batch — the equality below is only promised for in-order
+    // bounded replays)
+    val (imp, clk) = sampleEvents.sortBy(_.ts.getTime).partition(_.event_type == "view")
+    val joined = EventStream.intervalJoined(impressions.toDF(), clicks.toDF())
+    val q = joined.writeStream
+      .format("memory").queryName("attributed").outputMode("append").start()
+    try {
+      impressions.addData(imp.take(20)); clicks.addData(clk.take(10))
+      q.processAllAvailable()
+      impressions.addData(imp.drop(20)); clicks.addData(clk.drop(10))
+      q.processAllAvailable()
+      def key(r: org.apache.spark.sql.Row) =
+        (r.getLong(0), r.getLong(1), r.getLong(2), r.get(3).toString, r.get(4).toString)
+      val got = spark.table("attributed").collect().map(key).toSet
+      val want = EventStream.intervalJoined(imp.toDF(), clk.toDF()).collect().map(key).toSet
+      assert(got === want)
+      assert(got.nonEmpty)
+      // the interval condition actually constrains: every match is within 15 min after
+      assert(want.forall { case (_, _, _, l, r) =>
+        val lt = java.time.LocalDateTime.parse(l.replace(' ', 'T'))
+        val rt = java.time.LocalDateTime.parse(r.replace(' ', 'T'))
+        !rt.isBefore(lt) && !rt.isAfter(lt.plusMinutes(15))
+      })
+    } finally q.stop()
+  }
 }
