@@ -37,7 +37,10 @@ object LlmOps {
     * set sizes divide exactly in IEEE doubles → bit-matches DuckDB. */
   def qDedupNgram(spark: SparkSession, dir: String): DataFrame = {
     val docs = Tables.load(spark, dir, "documents")
-    Dedup.ngramJaccardPairs(
+    // the inverted-index form: identical output to the all-pairs kernel
+    // (LlmOpsSpec proves it), but a codegen'd shuffle-by-gram join
+    // instead of per-pair array intersections
+    Dedup.ngramJaccardPairsIndexed(
         docs.filter(col("doc_id") % 50 === 0), "text", "doc_id",
         n = 3, threshold = 0.5)
       .orderBy(col("id_a"), col("id_b"))

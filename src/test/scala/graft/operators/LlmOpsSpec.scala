@@ -186,6 +186,16 @@ class LlmOpsSpec extends SparkSpec {
     assert(!pairs.keys.exists { case (a, b) => a == 3L || b == 3L }) // unrelated
   }
 
+  test("indexed ngram jaccard equals the all-pairs kernel (values and pairs)") {
+    def collect(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2))).toMap
+    // threshold 0.01 exercises near-zero-overlap pairs too
+    val allPairs = collect(Dedup.ngramJaccardPairs(docs, "text", "doc_id", 3, 0.01))
+    val indexed = collect(Dedup.ngramJaccardPairsIndexed(docs, "text", "doc_id", 3, 0.01))
+    assert(indexed === allPairs)
+    assert(allPairs.nonEmpty)
+  }
+
   test("exact cosine near-dup pairs agree with the cosine expression; LSH variant is a subset") {
     import spark.implicits._
     val vecs = Seq(
