@@ -23,6 +23,7 @@ object Bench {
     Seq(warmDir, sfDir).foreach { d =>
       sources.Formats.ensureJsonFixture(spark, Tables.load(spark, d, "events"), d)
       sources.Formats.ensureCsvFixture(spark, Tables.load(spark, d, "nation"), d)
+      sources.Formats.ensureAvroFixture(spark, Tables.load(spark, d, "supplier"), d)
       queries.Extras.ensureBucketedTables(spark, d)
     }
 

@@ -69,6 +69,7 @@ object SparkEntry {
     // §2.1 sources + sinks
     "q_json_scan" -> q(SourceSink.qJsonScan),
     "q_csv_scan" -> q(SourceSink.qCsvScan),
+    "q_avro_scan" -> q(SourceSink.qAvroScan),
     "q_sink_roundtrip" -> q(SourceSink.qSinkRoundtrip),
     // TPC-H shape battery + events time series
     "q4_exists_agg" -> q(TpchShapes.q4Exists),
@@ -133,6 +134,7 @@ object SparkEntry {
     "q_sim_search" -> LlmOps.qSimSearchSql,
     "q_json_scan" -> SourceSink.qJsonScanSql,
     "q_csv_scan" -> SourceSink.qCsvScanSql,
+    "q_avro_scan" -> SourceSink.qAvroScanSql,
     "q_sink_roundtrip" -> SourceSink.qSinkRoundtripSql,
     "q4_exists_agg" -> TpchShapes.q4ExistsSql,
     "q6_filter_agg" -> TpchShapes.q6FilterAggSql,

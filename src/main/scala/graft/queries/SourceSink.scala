@@ -44,6 +44,34 @@ object SourceSink {
     GROUP BY event_type
     ORDER BY event_type"""
 
+  /** Avro container scan (reference: hdfs-avro-scanner.cc) through
+    * [[graft.sources.AvroIO]]: the fixture is supplier written as Avro;
+    * the read declares a REORDERED SUBSET reader schema, so Avro's
+    * writer-schema resolution (project by name, skip dropped fields) is on
+    * the hash-checked path, not just unit-tested. */
+  def qAvroScan(spark: SparkSession, dir: String): DataFrame = {
+    val supplier = Tables.load(spark, dir, "supplier")
+    val path = Formats.ensureAvroFixture(spark, supplier, dir)
+    val readerSchema = org.apache.spark.sql.types.StructType.fromDDL(
+      "s_nationkey INT, s_suppkey BIGINT, s_acctbal DOUBLE")
+    graft.sources.AvroIO.read(spark, path, Some(readerSchema))
+      .groupBy(col("s_nationkey"))
+      .agg(
+        count(lit(1)).as("n"),
+        sum(col("s_suppkey")).as("sum_key"),
+        dsum(col("s_acctbal")).as("sum_bal"))
+      .orderBy(col("s_nationkey"))
+  }
+
+  val qAvroScanSql: String = s"""
+    SELECT s_nationkey,
+           COUNT(*) AS n,
+           CAST(SUM(s_suppkey) AS BIGINT) AS sum_key,
+           ${dsumSql("s_acctbal")} AS sum_bal
+    FROM supplier
+    GROUP BY s_nationkey
+    ORDER BY s_nationkey"""
+
   /** Delimited-text scan with '|' row format (reference text scanner
     * option surface). */
   def qCsvScan(spark: SparkSession, dir: String): DataFrame = {

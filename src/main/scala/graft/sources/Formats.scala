@@ -13,9 +13,10 @@ import org.apache.spark.sql.types.StructType
   * paths flattened by name; Spark's `read.schema(...).json` is a strict
   * superset (true nested struct/array columns) — SURVEY §1.2's decision.
   *
-  * Avro (hdfs-avro-scanner.cc) maps to the spark-avro connector, which is
-  * not in this container's jar set (zero-egress) — surface documented,
-  * wire-up deferred to an env that ships spark-avro.
+  * Avro (hdfs-avro-scanner.cc): the spark-avro connector is absent from
+  * this container's jar set, but core `org.apache.avro` IS on Spark's
+  * classpath — [[AvroIO]] implements the container-file reader/writer
+  * (with writer-schema resolution) directly on it.
   *
   * Scale: a JSON/CSV scan is schema-on-read and codegen'd; at 100 TB the
   * only knobs that matter are splittable files and pushed-down pruning of
@@ -78,6 +79,18 @@ object Formats {
     val done = new java.io.File(path + "/_SUCCESS")
     if (!done.exists()) {
       nation.write.mode("overwrite").option("sep", "|").csv(path)
+    }
+    path
+  }
+
+  /** Avro fixture (supplier table written as Avro containers) for the
+    * Avro-scan path. */
+  def ensureAvroFixture(spark: SparkSession, supplier: DataFrame, sfDir: String): String = {
+    val tag = sfDir.replaceAll("[^a-zA-Z0-9.]", "_")
+    val path = s"target/tmp/avro_supplier_$tag"
+    val done = new java.io.File(path + "/_SUCCESS")
+    if (!done.exists()) {
+      AvroIO.write(supplier.coalesce(4), path)
     }
     path
   }
