@@ -197,33 +197,37 @@ object FunctionCorpus {
   // EVERY output column carries an explicit outer CAST: the driver's hash
   // is type-tagged and each engine's (and each DuckDB build's) precision
   // propagation for +/- differs — an unpinned result type is a driver red
-  // even when all cell values match (the r3 residual failure).
-  def qFnDecimal(spark: SparkSession, dir: String): DataFrame =
-    run(spark, dir, """
-      SELECT l_orderkey, l_linenumber,
-             CAST(CAST(l_extendedprice AS DECIMAL(12,2)) + CAST(l_tax AS DECIMAL(8,2)) AS DECIMAL(14,2))    AS dadd,
-             CAST(CAST(l_extendedprice AS DECIMAL(12,2)) - CAST(l_discount AS DECIMAL(8,2)) AS DECIMAL(14,2)) AS dsub,
-             CAST(CAST(l_quantity AS DECIMAL(10,2)) * CAST(l_discount AS DECIMAL(8,2)) AS DECIMAL(20,4)) AS dmul,
-             CAST(CAST(l_extendedprice AS DECIMAL(12,2)) % CAST(7 AS DECIMAL(4,0)) AS DECIMAL(12,2)) AS dmod,
-             CAST(CAST(l_extendedprice AS DECIMAL(12,2)) AS STRING)                  AS dstr,
-             CAST(CAST(l_quantity AS DECIMAL(10,3)) AS DECIMAL(20,5))                AS dwiden,
-             CAST(-l_extendedprice AS DECIMAL(14,2))                                 AS dneg
-      FROM lineitem
-      WHERE l_orderkey <= 400
-      ORDER BY l_orderkey, l_linenumber""")
+  // even when all cell values match. Decimal INPUTS are derived from exact
+  // integer cents (round(x*100) -> BIGINT -> DECIMAL / 100) rather than a
+  // narrowing CAST(double AS DECIMAL): a 2-decimal value stored as a binary
+  // double (…489999999998) rounds build-dependently at the narrowing cast,
+  // while the cents route is IEEE-exact in both engines (the r4 residual).
+  private val decimalSrc: String = """
+      (SELECT l_orderkey, l_linenumber,
+              CAST(CAST(CAST(round(l_extendedprice * 100) AS BIGINT) AS DECIMAL(14,2)) / 100 AS DECIMAL(12,2)) AS d_price,
+              CAST(CAST(CAST(round(l_tax * 100)           AS BIGINT) AS DECIMAL(10,2)) / 100 AS DECIMAL(8,2))  AS d_tax,
+              CAST(CAST(CAST(round(l_discount * 100)      AS BIGINT) AS DECIMAL(10,2)) / 100 AS DECIMAL(8,2))  AS d_disc,
+              CAST(CAST(CAST(round(l_quantity * 100)      AS BIGINT) AS DECIMAL(12,2)) / 100 AS DECIMAL(10,2)) AS d_qty,
+              CAST(CAST(CAST(round(l_quantity * 1000)     AS BIGINT) AS DECIMAL(13,3)) / 1000 AS DECIMAL(10,3)) AS d_qty3
+       FROM lineitem
+       WHERE l_orderkey <= 400) src"""
 
-  val qFnDecimalSql: String = """
+  private def qFnDecimalBody(strTy: String): String = s"""
       SELECT l_orderkey, l_linenumber,
-             CAST(CAST(l_extendedprice AS DECIMAL(12,2)) + CAST(l_tax AS DECIMAL(8,2)) AS DECIMAL(14,2))    AS dadd,
-             CAST(CAST(l_extendedprice AS DECIMAL(12,2)) - CAST(l_discount AS DECIMAL(8,2)) AS DECIMAL(14,2)) AS dsub,
-             CAST(CAST(l_quantity AS DECIMAL(10,2)) * CAST(l_discount AS DECIMAL(8,2)) AS DECIMAL(20,4)) AS dmul,
-             CAST(CAST(l_extendedprice AS DECIMAL(12,2)) % CAST(7 AS DECIMAL(4,0)) AS DECIMAL(12,2)) AS dmod,
-             CAST(CAST(l_extendedprice AS DECIMAL(12,2)) AS VARCHAR)                 AS dstr,
-             CAST(CAST(l_quantity AS DECIMAL(10,3)) AS DECIMAL(20,5))                AS dwiden,
-             CAST(-l_extendedprice AS DECIMAL(14,2))                                 AS dneg
-      FROM lineitem
-      WHERE l_orderkey <= 400
+             CAST(d_price + d_tax  AS DECIMAL(14,2))            AS dadd,
+             CAST(d_price - d_disc AS DECIMAL(14,2))            AS dsub,
+             CAST(d_qty * d_disc AS DECIMAL(20,4))              AS dmul,
+             CAST(d_price % CAST(7 AS DECIMAL(4,0)) AS DECIMAL(12,2)) AS dmod,
+             CAST(d_price AS $strTy)                            AS dstr,
+             CAST(d_qty3 AS DECIMAL(20,5))                      AS dwiden,
+             CAST(-d_price AS DECIMAL(14,2))                    AS dneg
+      FROM $decimalSrc
       ORDER BY l_orderkey, l_linenumber"""
+
+  def qFnDecimal(spark: SparkSession, dir: String): DataFrame =
+    run(spark, dir, qFnDecimalBody("STRING"))
+
+  val qFnDecimalSql: String = qFnDecimalBody("VARCHAR")
 
   // ------------------------------------------------------------- timestamp
   def qFnDate(spark: SparkSession, dir: String): DataFrame =
