@@ -83,6 +83,8 @@ object SparkEntry {
     "q_sessionize" -> q(TpchShapes.qSessionize),
     "q_fn_cast" -> q(FunctionCorpus.qFnCast),
     "q_fn_decimal" -> q(FunctionCorpus.qFnDecimal),
+    "q2_min_cost_supplier" -> q(TpchShapes2.q2MinCostSupplier),
+    "q11_important_stock" -> q(TpchShapes2.q11ImportantStock),
     "q7_nation_volume" -> q(TpchShapes2.q7NationVolume),
     "q8_market_share" -> q(TpchShapes2.q8MarketShare),
     "q9_profit" -> q(TpchShapes2.q9Profit),
@@ -147,6 +149,8 @@ object SparkEntry {
     "q_sessionize" -> TpchShapes.qSessionizeSql,
     "q_fn_cast" -> FunctionCorpus.qFnCastSql,
     "q_fn_decimal" -> FunctionCorpus.qFnDecimalSql,
+    "q2_min_cost_supplier" -> TpchShapes2.q2MinCostSupplierSql,
+    "q11_important_stock" -> TpchShapes2.q11ImportantStockSql,
     "q7_nation_volume" -> TpchShapes2.q7NationVolumeSql,
     "q8_market_share" -> TpchShapes2.q8MarketShareSql,
     "q9_profit" -> TpchShapes2.q9ProfitSql,

@@ -103,6 +103,70 @@ object TpchShapes2 {
     GROUP BY o_orderpriority
     ORDER BY o_orderpriority"""
 
+  /** Q2 shape: minimum-cost supplier — CORRELATED scalar subquery
+    * (`= (SELECT MIN(…) …)` correlated on the outer part + region filter),
+    * the decorrelation plan the reference exercises in tpch-q2.test
+    * (testdata/workloads/tpch/queries/tpch-q2.test; rewrite logic in
+    * fe/.../analysis/StmtRewriter.java). No partsupp table in the
+    * synthetic schema, so lineitem plays the part-supplier offer relation
+    * with l_extendedprice as the cost; plan shape (correlated scalar-agg
+    * decorrelated into an aggregated self-join) is identical. Catalyst
+    * plans the subquery as a partial-agg + join on (l_partkey) — no
+    * per-row re-execution, safe at any scale; DISTINCT + total ORDER BY
+    * keeps the LIMIT cut deterministic for the oracle hash. */
+  def q2MinCostSupplier(spark: SparkSession, dir: String): DataFrame =
+    run(spark, dir, q2MinCostSupplierSql)
+
+  val q2MinCostSupplierSql: String = """
+    SELECT DISTINCT s_acctbal, s_name, n_name, p_partkey, p_type
+    FROM part, supplier, lineitem, nation, region
+    WHERE p_partkey = l_partkey
+      AND s_suppkey = l_suppkey
+      AND p_size <= 5
+      AND p_type LIKE '%O%'
+      AND s_nationkey = n_nationkey
+      AND n_regionkey = r_regionkey
+      AND r_name = 'EUROPE'
+      AND l_extendedprice = (
+        SELECT MIN(l2.l_extendedprice)
+        FROM lineitem l2, supplier s2, nation n2, region r2
+        WHERE p_partkey = l2.l_partkey
+          AND s2.s_suppkey = l2.l_suppkey
+          AND s2.s_nationkey = n2.n_nationkey
+          AND n2.n_regionkey = r2.r_regionkey
+          AND r2.r_name = 'EUROPE')
+    ORDER BY s_acctbal DESC, n_name, s_name, p_partkey
+    LIMIT 100"""
+
+  /** Q11 shape: important stock — UNCORRELATED scalar subquery under
+    * HAVING (`HAVING SUM(…) > (SELECT SUM(…) * fraction)`), the other
+    * scalar-subquery plan from the reference's corpus (tpch-q11.test).
+    * The global threshold plans as a one-row subquery broadcast into the
+    * aggregate filter — the group-by side shuffles once on l_partkey and
+    * the scalar side reuses the same scan shape. Sums stay in exact
+    * decimal space on BOTH sides of the `>` (the ×1000 cross-multiply
+    * avoids any double fraction), so the boundary decision can't diverge
+    * between Spark and DuckDB. */
+  def q11ImportantStock(spark: SparkSession, dir: String): DataFrame =
+    run(spark, dir, q11ImportantStockSql)
+
+  val q11ImportantStockSql: String = """
+    SELECT l_partkey,
+           CAST(SUM(CAST(l_extendedprice * l_quantity AS DECIMAL(28,4))) AS DOUBLE) AS value
+    FROM lineitem
+    JOIN supplier ON l_suppkey = s_suppkey
+    JOIN nation ON s_nationkey = n_nationkey
+    WHERE n_name = 'NATION_7'
+    GROUP BY l_partkey
+    HAVING CAST(SUM(CAST(l_extendedprice * l_quantity AS DECIMAL(28,4))) AS DECIMAL(28,4))
+             * CAST(1000 AS DECIMAL(4,0)) >
+           (SELECT CAST(SUM(CAST(l_extendedprice * l_quantity AS DECIMAL(28,4))) AS DECIMAL(28,4))
+            FROM lineitem
+            JOIN supplier ON l_suppkey = s_suppkey
+            JOIN nation ON s_nationkey = n_nationkey
+            WHERE n_name = 'NATION_7')
+    ORDER BY value DESC, l_partkey"""
+
   /** Q16 shape: distinct supplier count per part attribute combo. */
   def q16SupplierCount(spark: SparkSession, dir: String): DataFrame =
     run(spark, dir, q16SupplierCountSql)
