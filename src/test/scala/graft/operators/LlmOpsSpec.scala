@@ -196,6 +196,35 @@ class LlmOpsSpec extends SparkSpec {
     assert(allPairs.nonEmpty)
   }
 
+  test("indexed ngram jaccard caps hot grams: pathological corpus stays bounded, normal corpus unchanged") {
+    import spark.implicits._
+    def collect(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2))).toMap
+    // 30 docs of the form "<ccc> zzz" where <ccc> is a tripled symbol
+    // unique to the doc (charNgrams lowercases, so the alphabet must be
+    // case-insensitively distinct): the only grams any two docs share are
+    // the ubiquitous " zz"/"zzz" tail. Without the cap that posting list
+    // alone yields 30*29/2 = 435 pairs; with the cap the hot grams are
+    // dropped from the index and no cross-pair survives.
+    val alphabet = "abcdefghijklmnopqrstuvwxy01234" // 30 symbols, no 'z'
+    val pathological = (0 until 30)
+      .map(i => (i.toLong, s"${alphabet(i).toString * 3} zzz"))
+      .toDF("doc_id", "text")
+    val capped = Dedup.ngramJaccardPairsIndexed(
+      pathological, "text", "doc_id", n = 3, threshold = 0.01, maxPosting = 10)
+    // every surviving pair must share a NON-ubiquitous gram; the docs are
+    // constructed so they don't — the quadratic bucket is gone
+    assert(capped.count() === 0)
+    // sanity that the uncapped form would have paired everything via "zzz"
+    val uncapped = Dedup.ngramJaccardPairsIndexed(
+      pathological, "text", "doc_id", n = 3, threshold = 0.01, maxPosting = Int.MaxValue)
+    assert(uncapped.count() === 435)
+    // and on the normal corpus the default cap never trips: output identical
+    val normal = collect(Dedup.ngramJaccardPairsIndexed(docs, "text", "doc_id", 3, 0.01))
+    val reference = collect(Dedup.ngramJaccardPairs(docs, "text", "doc_id", 3, 0.01))
+    assert(normal === reference)
+  }
+
   test("exact cosine near-dup pairs agree with the cosine expression; LSH variant is a subset") {
     import spark.implicits._
     val vecs = Seq(
