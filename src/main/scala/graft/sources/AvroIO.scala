@@ -91,6 +91,10 @@ object AvroIO {
         while (j < r.length) {
           rec.put(j, r.get(j) match {
             case b: Array[Byte] => java.nio.ByteBuffer.wrap(b)
+            // Byte/Short map to Avro INT in toAvroSchema; Avro's union
+            // resolution only recognizes Integer, so widen here.
+            case b: java.lang.Byte => Int.box(b.intValue)
+            case s: java.lang.Short => Int.box(s.intValue)
             case v => v
           })
           j += 1
@@ -119,25 +123,40 @@ object AvroIO {
     val target = readSchema.getOrElse(toStructType(writerSchema))
     val readerJson = toAvroSchema(target).toString
     val names = target.fieldNames
+    val fieldTypes: Array[DataType] = target.fields.map(_.dataType)
     val rdd = spark.sparkContext.parallelize(files.toSeq, files.length).flatMap { path =>
       val expected = new Schema.Parser().parse(readerJson)
       val reader = new DataFileReader(new File(path),
         new GenericDatumReader[GenericRecord](null, expected))
-      val rows = scala.collection.mutable.ArrayBuffer[Row]()
-      while (reader.hasNext) {
-        val rec = reader.next()
-        rows += Row.fromSeq(names.toIndexedSeq.map { n =>
-          rec.get(n) match {
-            case null => null
-            case u: org.apache.avro.util.Utf8 => u.toString
-            case b: java.nio.ByteBuffer =>
-              val a = new Array[Byte](b.remaining()); b.get(a); a
-            case v => v
-          }
-        })
+      // Lazy: decode one record per next() so task memory stays O(1) in the
+      // container size; the reader closes as soon as the file drains.
+      new Iterator[Row] {
+        private var open = true
+        def hasNext: Boolean = {
+          if (open && !reader.hasNext) { reader.close(); open = false }
+          open
+        }
+        def next(): Row = {
+          if (!hasNext) throw new NoSuchElementException("exhausted avro file " + path)
+          val rec = reader.next()
+          Row.fromSeq(names.indices.map { k =>
+            rec.get(names(k)) match {
+              case null => null
+              case u: org.apache.avro.util.Utf8 => u.toString
+              case b: java.nio.ByteBuffer =>
+                val a = new Array[Byte](b.remaining()); b.get(a); a
+              // Avro INT carries Byte/Short columns (see toAvroSchema);
+              // narrow back to the declared Catalyst type.
+              case i: java.lang.Integer => fieldTypes(k) match {
+                case ByteType => Byte.box(i.byteValue)
+                case ShortType => Short.box(i.shortValue)
+                case _ => i
+              }
+              case v => v
+            }
+          })
+        }
       }
-      reader.close()
-      rows.iterator
     }
     spark.createDataFrame(rdd, target)
   }

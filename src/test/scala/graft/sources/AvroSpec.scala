@@ -48,6 +48,33 @@ class AvroSpec extends SparkSpec {
     assert(got === Seq((1.5, 1L, true), (-0.25, 2L, true), (0.0, 3L, true)))
   }
 
+  test("byte/short columns roundtrip through avro int and narrow back") {
+    val dir = tmpDir("narrow")
+    val df = spark.createDataFrame(
+      java.util.List.of(
+        Row(1L, 7.toByte, 300.toShort),
+        Row(2L, (-128).toByte, null)),
+      StructType.fromDDL("id BIGINT, b TINYINT, s SMALLINT"))
+    AvroIO.write(df.coalesce(1), dir)
+    val back = AvroIO.read(spark, dir, Some(df.schema))
+    assert(back.schema.fields.map(_.dataType).toSeq === Seq(LongType, ByteType, ShortType))
+    val got = back.collect()
+      .map(r => (r.getLong(0), r.getByte(1), if (r.isNullAt(2)) null else r.getShort(2)))
+      .sortBy(_._1).toSeq
+    assert(got === Seq((1L, 7.toByte, 300.toShort), (2L, (-128).toByte, null)))
+    // without a reader schema the writer schema's INT shape is the contract
+    assert(AvroIO.read(spark, dir).schema("b").dataType === IntegerType)
+  }
+
+  test("reader iterator is lazy: rows stream without materializing the file") {
+    val dir = tmpDir("lazy")
+    AvroIO.write(sample.coalesce(1), dir)
+    // take(1) over the underlying RDD decodes only what it needs; correctness
+    // of the early-terminated path is what guards the lazy-iterator rewrite
+    val first = AvroIO.read(spark, dir).limit(1).collect()
+    assert(first.length === 1)
+  }
+
   test("binary columns roundtrip through avro bytes") {
     val dir = tmpDir("bytes")
     val df = spark.createDataFrame(
