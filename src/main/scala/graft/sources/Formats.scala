@@ -90,6 +90,11 @@ object Formats {
     val path = s"target/tmp/avro_supplier_$tag"
     val done = new java.io.File(path + "/_SUCCESS")
     if (!done.exists()) {
+      // AvroIO.write appends files into an existing dir (unlike Spark's
+      // overwrite mode); clear any half-written remains first so a missing
+      // _SUCCESS always means a clean rebuild, never a stale mix.
+      val dir = new java.io.File(path)
+      Option(dir.listFiles()).getOrElse(Array.empty).foreach(_.delete())
       AvroIO.write(supplier.coalesce(4), path)
     }
     path
