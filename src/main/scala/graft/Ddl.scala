@@ -36,6 +36,31 @@ object Ddl {
   def computeStats(spark: SparkSession, table: String): Unit =
     spark.sql(s"ANALYZE TABLE $table COMPUTE STATISTICS FOR ALL COLUMNS")
 
+  /** `COMPUTE INCREMENTAL STATS t [PARTITION (spec)]` (reference:
+    * ComputeStatsStmt.java incremental path, be/src/exec/incr-stats-util.cc):
+    * stats are maintained per partition and only partitions that lack them
+    * are (re)scanned, so adding one partition to a 10k-partition table
+    * costs one partition's scan, not the table's. Spark stores per-partition
+    * stats the same way (`ANALYZE TABLE ... PARTITION`); the incremental
+    * delta — skip partitions that already have row counts — is this shim.
+    * With `spec` only that partition is analyzed (the reference's explicit
+    * PARTITION form). Returns the number of partitions analyzed. */
+  def computeIncrementalStats(
+      spark: SparkSession, table: String, spec: Option[String] = None): Int = spec match {
+    case Some(s) =>
+      spark.sql(s"ANALYZE TABLE $table PARTITION ($s) COMPUTE STATISTICS")
+      1
+    case None =>
+      val ident = spark.sessionState.sqlParser.parseTableIdentifier(table)
+      val missing = spark.sessionState.catalog.listPartitions(ident)
+        .filter(p => p.stats.isEmpty)
+      missing.foreach { p =>
+        val clause = p.spec.map { case (k, v) => s"$k='$v'" }.mkString(", ")
+        spark.sql(s"ANALYZE TABLE $table PARTITION ($clause) COMPUTE STATISTICS")
+      }
+      missing.size
+  }
+
   /** `INVALIDATE METADATA t` / `REFRESH t`. */
   def refresh(spark: SparkSession, table: String): Unit =
     spark.sql(s"REFRESH TABLE $table")

@@ -64,6 +64,12 @@ object Options {
       k.startsWith("spark.graft.") || k.startsWith("spark.sql.")
     }
 
+  /** EXPLAIN honoring the session's `SET EXPLAIN_LEVEL` (0..3, default 0
+    * like the reference's minimal level). */
+  def explain(spark: SparkSession, df: DataFrame): String =
+    explain(df, spark.conf.getOption("spark.graft.option.explain_level")
+      .flatMap(_.toIntOption).getOrElse(0))
+
   /** EXPLAIN levels (reference: 4 levels, explain-level*.test) →
     * Spark explain modes. */
   def explain(df: DataFrame, level: Int): String = {

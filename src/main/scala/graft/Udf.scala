@@ -36,4 +36,12 @@ object Udf {
       spark: SparkSession, name: String, agg: Aggregator[IN, BUF, OUT])(
       implicit enc: Encoder[IN]): Unit =
     spark.udf.register(name, functions.udaf(agg, enc))
+
+  /** `CREATE FUNCTION name AS 'HiveUdfClass'` — call-through to a Hive
+    * Java UDF (reference: be/src/exprs/hive-udf-call.cc invokes the class
+    * over JNI; here the JVM is native ground, so the class binds directly
+    * as a Catalyst expression via Spark's Hive wrappers). Works with both
+    * reflective `UDF` and `GenericUDF` classes; no metastore required. */
+  def registerHiveUdf(spark: SparkSession, name: String, className: String): Unit =
+    org.apache.spark.sql.hive.GraftHiveUdf.register(spark, name, className)
 }

@@ -52,6 +52,27 @@ class DdlSpec extends SparkSpec {
     spark.sql("DROP TABLE ddl_part_t")
   }
 
+  test("COMPUTE INCREMENTAL STATS analyzes only partitions without stats") {
+    val loc = tmpDir("ddl_incr")
+    spark.sql("DROP TABLE IF EXISTS ddl_incr_t")
+    spark.sql(s"CREATE TABLE ddl_incr_t (k INT) USING parquet PARTITIONED BY (p STRING) LOCATION '$loc'")
+    spark.sql("INSERT INTO ddl_incr_t PARTITION (p='a') VALUES (1), (2)")
+    spark.sql("INSERT INTO ddl_incr_t PARTITION (p='b') VALUES (3)")
+    assert(Ddl.computeIncrementalStats(spark, "ddl_incr_t") === 2)
+    // second run is the incremental no-op: everything already has stats
+    assert(Ddl.computeIncrementalStats(spark, "ddl_incr_t") === 0)
+    // a new partition is the only one scanned
+    spark.sql("INSERT INTO ddl_incr_t PARTITION (p='c') VALUES (4)")
+    assert(Ddl.computeIncrementalStats(spark, "ddl_incr_t") === 1)
+    // explicit PARTITION form re-analyzes unconditionally
+    assert(Ddl.computeIncrementalStats(spark, "ddl_incr_t", Some("p='a'")) === 1)
+    // the stats landed: partition-level row counts visible in the catalog
+    val ident = spark.sessionState.sqlParser.parseTableIdentifier("ddl_incr_t")
+    val parts = spark.sessionState.catalog.listPartitions(ident)
+    assert(parts.forall(_.stats.exists(_.rowCount.exists(_ > 0))))
+    spark.sql("DROP TABLE ddl_incr_t")
+  }
+
   test("SHOW TABLE STATS / COLUMN STATS / FILES after COMPUTE STATS") {
     spark.sql("DROP TABLE IF EXISTS ddl_stats_t")
     spark.sql("CREATE TABLE ddl_stats_t (k INT, v STRING) USING parquet")

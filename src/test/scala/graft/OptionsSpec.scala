@@ -43,6 +43,11 @@ class OptionsSpec extends SparkSpec {
     assert(l1.contains("Analyzed Logical Plan") && l1.contains("Optimized Logical Plan"))
     assert(l3.contains("LocalTableScan") || l3.contains("Scan"))
     assert(l1.length > l0.length)
+    // SET EXPLAIN_LEVEL drives the session-default form
+    Options.set(spark, "EXPLAIN_LEVEL", "1")
+    assert(Options.explain(spark, df).contains("Analyzed Logical Plan"))
+    Options.set(spark, "EXPLAIN_LEVEL", "0")
+    assert(!Options.explain(spark, df).contains("Analyzed Logical Plan"))
   }
 
   test("CHAR(n) semantics: table columns pad on read; expression cast does not (documented delta)") {

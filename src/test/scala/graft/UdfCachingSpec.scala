@@ -4,6 +4,12 @@ import org.apache.spark.sql.expressions.Aggregator
 import org.apache.spark.sql.Encoder
 import org.apache.spark.sql.Encoders
 
+/** A reflective Hive UDF for the call-through test (must be a top-level
+  * class — Hive instantiates it by zero-arg reflection). */
+class TestHiveShoutUdf extends org.apache.hadoop.hive.ql.exec.UDF {
+  def evaluate(s: String): String = if (s == null) null else s.toUpperCase + "!"
+}
+
 class UdfCachingSpec extends SparkSpec {
 
   test("CREATE FUNCTION surface: scalar UDFs callable from SQL") {
@@ -27,6 +33,26 @@ class UdfCachingSpec extends SparkSpec {
     Seq(2.0, 8.0).toDF("x").createOrReplaceTempView("geo_t")
     val got = spark.sql("SELECT geomean(x) FROM geo_t").collect()(0).getDouble(0)
     assert(math.abs(got - 4.0) < 1e-12)
+  }
+
+  test("CREATE FUNCTION AS 'HiveUdfClass': reflective UDF and GenericUDF call through") {
+    // a user-supplied reflective Hive UDF (reference hive-udf-call.cc path)
+    Udf.registerHiveUdf(spark, "hive_shout", classOf[TestHiveShoutUdf].getName)
+    assert(spark.sql("SELECT hive_shout('abc')").collect()(0).getString(0) === "ABC!")
+    assert(spark.sql("SELECT hive_shout(NULL)").collect()(0).isNullAt(0))
+    // a GenericUDF straight out of hive-exec, as a USING JAR stand-in
+    Udf.registerHiveUdf(spark, "hive_concat",
+      "org.apache.hadoop.hive.ql.udf.generic.GenericUDFConcat")
+    assert(spark.sql("SELECT hive_concat('a', '-', 'b')").collect()(0).getString(0) === "a-b")
+    // over a column, not just literals
+    import spark.implicits._
+    Seq("x", "yz").toDF("s").createOrReplaceTempView("hive_udf_t")
+    assert(spark.sql("SELECT hive_shout(s) FROM hive_udf_t ORDER BY s")
+      .collect().map(_.getString(0)).toSeq === Seq("X!", "YZ!"))
+    // non-UDF classes are rejected up front
+    intercept[IllegalArgumentException] {
+      Udf.registerHiveUdf(spark, "bad", "java.lang.String")
+    }
   }
 
   test("dfs_cache analogue: prepare warms the cache, progress reaches 1.0") {
