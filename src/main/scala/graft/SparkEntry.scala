@@ -66,6 +66,11 @@ object SparkEntry {
     "q_sim_search_lsh" -> q(LlmOps.qSimSearchLsh),
     "q_sim_search_ivf" -> q(LlmOps.qSimSearchIvf),
     "q_multimodal" -> q(LlmOps.qMultimodal),
+    "q_sample_fingerprint" -> q(LlmOps.qSampleFingerprint),
+    "q_vocab_topk" -> q(LlmOps.qVocabTopk),
+    "q_text_scrub" -> q(LlmOps.qTextScrub),
+    "q_chunk" -> q(LlmOps.qChunk),
+    "q_join_salted" -> q(Joins.qJoinSalted),
     // §2.1 sources + sinks
     "q_json_scan" -> q(SourceSink.qJsonScan),
     "q_csv_scan" -> q(SourceSink.qCsvScan),
@@ -134,6 +139,11 @@ object SparkEntry {
     "q_dedup_cosine" -> LlmOps.qDedupCosineSql,
     "q_text_stats" -> LlmOps.qTextStatsSql,
     "q_sim_search" -> LlmOps.qSimSearchSql,
+    "q_sample_fingerprint" -> LlmOps.qSampleFingerprintSql,
+    "q_vocab_topk" -> LlmOps.qVocabTopkSql,
+    "q_text_scrub" -> LlmOps.qTextScrubSql,
+    "q_chunk" -> LlmOps.qChunkSql,
+    "q_join_salted" -> Joins.qJoinSaltedSql,
     "q_json_scan" -> SourceSink.qJsonScanSql,
     "q_csv_scan" -> SourceSink.qCsvScanSql,
     "q_avro_scan" -> SourceSink.qAvroScanSql,

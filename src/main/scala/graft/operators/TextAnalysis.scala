@@ -101,6 +101,63 @@ object TextAnalysis {
   /** Hamming distance between two 64-bit simhashes. */
   def hamming64(a: Column, b: Column): Column = bit_count(a.bitwiseXOR(b))
 
+  /** Scrub URLs and email addresses from text (the standard PII/dedup
+    * normalization pass before training). Patterns are deliberately
+    * conservative — valid and identically interpreted under both Java
+    * regex (Spark) and RE2 (the usual external oracle), so the pass is
+    * cross-engine deterministic. Codegen'd regexp_replace: one streaming
+    * scan, no shuffle. */
+  def scrub(text: Column, replacement: String = "<scrubbed>"): Column = {
+    val noUrl = regexp_replace(text, "https?://[^\\s]+", replacement)
+    regexp_replace(noUrl, "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}", replacement)
+  }
+
+  /** Deterministic content-hash sampling: keep a document iff the leading
+    * hex byte of md5(text) falls under `hexThreshold` (two lowercase hex
+    * chars, e.g. "14" keeps ~20/256 ≈ 7.8%). String comparison on the hex
+    * prefix is engine-neutral (md5 is standardized, lexicographic compare
+    * on [0-9a-f] is unambiguous), so the SAME sample comes out of any
+    * engine — the property that makes pipeline reruns and cross-system
+    * audits reproducible, unlike rand()-based sampling. Embarrassingly
+    * parallel: a codegen'd filter on the scan, no shuffle. */
+  def sampleByFingerprint(text: Column, hexThreshold: String): Column =
+    substring(md5(text), 1, 2) < hexThreshold
+
+  /** Vocabulary: top-k whitespace/punctuation-split tokens by frequency
+    * (tie-break on the token) — the corpus-statistics pass behind BPE
+    * training and frequency filtering. Plans as explode → hash-agg with
+    * map-side partials → TakeOrderedAndProject: the shuffle carries one
+    * (token, partial-count) pair per distinct token per partition, and
+    * top-k never materializes a full sort at the driver. */
+  def vocabulary(docs: org.apache.spark.sql.DataFrame, textCol: String, k: Int): org.apache.spark.sql.DataFrame =
+    docs.select(explode(split(lower(col(textCol)), "[^a-z0-9']+")).as("token"))
+      .filter(length(col("token")) > 0)
+      .groupBy(col("token")).agg(count(lit(1)).as("freq"))
+      .orderBy(col("freq").desc, col("token"))
+      .limit(k)
+
+  /** Fixed-size token chunking with overlap (context-window packing for
+    * training): split into whitespace tokens, emit windows of `chunkSize`
+    * tokens advancing by `chunkSize - overlap`. The window starts come from a
+    * per-row `sequence` + explode — pure codegen, no shuffle, and chunk
+    * text is re-assembled with slice + array_join so token bytes are
+    * never copied more than the overlap factor requires. */
+  def chunk(docs: org.apache.spark.sql.DataFrame, textCol: String, idCol: String,
+      chunkSize: Int, overlap: Int = 0): org.apache.spark.sql.DataFrame = {
+    require(chunkSize > 0 && overlap >= 0 && overlap < chunkSize,
+      s"need 0 <= overlap < chunkSize, got chunkSize=$chunkSize overlap=$overlap")
+    val step = chunkSize - overlap
+    val toks = tokens(col(textCol))
+    docs
+      .select(col(idCol).as("doc_id"), toks.as("toks"))
+      .select(col("doc_id"), col("toks"),
+        explode(sequence(lit(0),
+          greatest(ceil((size(col("toks")) - chunkSize).cast("double") / step), lit(0)).cast("int"),
+          lit(1))).as("chunk_id"))
+      .select(col("doc_id"), col("chunk_id"),
+        array_join(slice(col("toks"), col("chunk_id") * step + 1, lit(chunkSize)), " ").as("chunk"))
+  }
+
   /** Bulk simhash as a relational plan: token explode → codegen'd hash-agg
     * of 64 bit-votes → bit-pack. Same result as [[simhash64]] but the
     * per-token loop runs inside whole-stage codegen with map-side partial

@@ -229,4 +229,29 @@ object Joins {
            n_regionkey = r_regionkey AS is_home
     FROM region CROSS JOIN nation
     ORDER BY pair_code"""
+
+  /** Salted join over a pathologically skewed key (l_returnflag: 3 distinct
+    * values over the whole fact table — every row lands in one of 3 shuffle
+    * partitions unsalted). [[graft.operators.SaltedJoin]] spreads each hot
+    * key over 16 salt buckets; the oracle is the PLAIN join (salting must
+    * not change the result). At toy scale the dim is broadcastable anyway;
+    * SaltedJoinSpec pins the shuffle-only plan this entry exists for. */
+  def qJoinSalted(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val li = Tables.load(spark, dir, "lineitem")
+      .select(col("l_returnflag"), col("l_quantity"))
+    val dim = Seq(("A", "accepted"), ("N", "new"), ("R", "returned"))
+      .toDF("flag", "label")
+    graft.operators.SaltedJoin.join(li, dim, "l_returnflag", "flag", salts = 16)
+      .groupBy(col("label"))
+      .agg(count(lit(1)).as("n"), dsum(col("l_quantity")).as("sum_qty"))
+      .orderBy(col("label"))
+  }
+
+  val qJoinSaltedSql: String = s"""
+    WITH dim AS (SELECT * FROM (VALUES ('A','accepted'), ('N','new'), ('R','returned')) AS t(flag, label))
+    SELECT label, COUNT(*) AS n, ${Parity.dsumSql("l_quantity")} AS sum_qty
+    FROM lineitem JOIN dim ON l_returnflag = flag
+    GROUP BY label
+    ORDER BY label"""
 }

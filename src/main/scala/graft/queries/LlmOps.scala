@@ -234,4 +234,86 @@ object LlmOps {
       .join(TextAnalysis.simhashTable(docs, "text", "doc_id"), Seq("doc_id"))
       .orderBy(col("doc_id"))
   }
+
+  /** Deterministic content-hash sampling (reproducible corpus subsetting):
+    * md5-prefix compare is engine-neutral, so Spark and DuckDB select the
+    * SAME documents — the property rand() sampling can't give. */
+  def qSampleFingerprint(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.load(spark, dir, "documents")
+    docs.filter(TextAnalysis.sampleByFingerprint(col("text"), "14"))
+      .select(col("doc_id"), substring(md5(col("text")), 1, 2).as("bucket"))
+      .orderBy(col("doc_id"))
+  }
+
+  val qSampleFingerprintSql: String = """
+    SELECT doc_id, substr(md5(text), 1, 2) AS bucket
+    FROM documents
+    WHERE substr(md5(text), 1, 2) < '14'
+    ORDER BY doc_id"""
+
+  /** Vocabulary top-k (the corpus frequency pass behind BPE training and
+    * frequency filters): explode → map-side-partial hash-agg →
+    * TakeOrderedAndProject; tie-break on token keeps the cut exact. */
+  def qVocabTopk(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.load(spark, dir, "documents")
+    TextAnalysis.vocabulary(docs, "text", 100)
+  }
+
+  val qVocabTopkSql: String = """
+    SELECT token, COUNT(*) AS freq
+    FROM (SELECT unnest(string_split_regex(lower(text), '[^a-z0-9'']+')) AS token
+          FROM documents)
+    WHERE length(token) > 0
+    GROUP BY token
+    ORDER BY freq DESC, token
+    LIMIT 100"""
+
+  /** URL/email scrubbing (the PII normalization pass): the dirty text is
+    * constructed deterministically from doc_id so the replacement paths
+    * actually fire, then scrubbed with cross-engine-safe regexes. */
+  def qTextScrub(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.load(spark, dir, "documents")
+    val dirty = concat(col("text"),
+      lit(" contact user"), col("doc_id").cast("string"),
+      lit("@mail.example.com or http://ex.example/p/"), col("doc_id").cast("string"))
+    docs.select(
+        col("doc_id"),
+        TextAnalysis.scrub(dirty).as("clean"))
+      .orderBy(col("doc_id"))
+  }
+
+  val qTextScrubSql: String = """
+    SELECT doc_id,
+           regexp_replace(
+             regexp_replace(
+               text || ' contact user' || CAST(doc_id AS VARCHAR)
+                    || '@mail.example.com or http://ex.example/p/' || CAST(doc_id AS VARCHAR),
+               'https?://[^\s]+', '<scrubbed>', 'g'),
+             '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<scrubbed>', 'g') AS clean
+    FROM documents
+    ORDER BY doc_id"""
+
+  /** Fixed-size token chunking with overlap (context-window packing):
+    * per-row sequence + explode, no shuffle; the oracle rebuilds the same
+    * windows with generate_series + list slicing. */
+  def qChunk(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.load(spark, dir, "documents")
+    TextAnalysis.chunk(docs.filter(col("doc_id") % 20 === 0), "text", "doc_id",
+        chunkSize = 64, overlap = 8)
+      .orderBy(col("doc_id"), col("chunk_id"))
+  }
+
+  val qChunkSql: String = """
+    WITH t AS (
+      SELECT doc_id, string_split_regex(trim(text), '\s+') AS toks
+      FROM documents WHERE doc_id % 20 = 0),
+    s AS (
+      SELECT doc_id, toks,
+             unnest(generate_series(0,
+               greatest(CAST(ceil((len(toks) - 64) / 56.0) AS INT), 0))) AS chunk_id
+      FROM t)
+    SELECT doc_id, chunk_id,
+           array_to_string(toks[chunk_id*56 + 1 : chunk_id*56 + 64], ' ') AS chunk
+    FROM s
+    ORDER BY doc_id, chunk_id"""
 }

@@ -225,6 +225,60 @@ class LlmOpsSpec extends SparkSpec {
     assert(normal === reference)
   }
 
+  test("chunking covers every token, respects overlap, and handles short docs") {
+    import spark.implicits._
+    val doc = (1L, (1 to 10).map(i => s"t$i").mkString(" "))
+    val short = (2L, "a b c")
+    val in = Seq(doc, short).toDF("doc_id", "text")
+    val chunks = TextAnalysis.chunk(in, "text", "doc_id", chunkSize = 4, overlap = 2)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getString(2))).sortBy(c => (c._1, c._2))
+    val d1 = chunks.filter(_._1 == 1L).map(_._3)
+    // starts advance by 2: 0,2,4,6 — the last window is the 4-token tail
+    assert(d1 === Array("t1 t2 t3 t4", "t3 t4 t5 t6", "t5 t6 t7 t8", "t7 t8 t9 t10"))
+    // every token appears in some chunk
+    assert((1 to 10).forall(i => d1.exists(_.split(" ").contains(s"t$i"))))
+    // shorter-than-chunk doc → exactly one (short) chunk
+    assert(chunks.filter(_._1 == 2L).map(_._3) === Array("a b c"))
+    // no overlap: disjoint cover
+    val noOv = TextAnalysis.chunk(in, "text", "doc_id", chunkSize = 5)
+      .filter(col("doc_id") === 1L).collect().map(_.getString(2))
+    assert(noOv === Array("t1 t2 t3 t4 t5", "t6 t7 t8 t9 t10"))
+    intercept[IllegalArgumentException] {
+      TextAnalysis.chunk(in, "text", "doc_id", chunkSize = 4, overlap = 4)
+    }
+  }
+
+  test("vocabulary ranks tokens by frequency with deterministic tie-break") {
+    import spark.implicits._
+    val in = Seq((1L, "aa bb aa cc bb aa"), (2L, "bb cc dd, CC!")).toDF("doc_id", "text")
+    val top = TextAnalysis.vocabulary(in, "text", 3)
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+    // aa:3, bb:3 (tie → alpha), cc:3 (lowercased + punctuation split)
+    assert(top === Seq(("aa", 3L), ("bb", 3L), ("cc", 3L)))
+  }
+
+  test("scrub replaces urls and emails, leaves clean text alone") {
+    import spark.implicits._
+    val in = Seq(
+      "see http://x.example/a?b=1 and mail bob.smith+x@corp.example.org now",
+      "nothing to remove here").toDF("text")
+    val out = in.select(TextAnalysis.scrub(col("text")).as("t"))
+      .collect().map(_.getString(0))
+    assert(out(0) === "see <scrubbed> and mail <scrubbed> now")
+    assert(out(1) === "nothing to remove here")
+  }
+
+  test("fingerprint sampling is deterministic and roughly proportional") {
+    import spark.implicits._
+    val in = (1 to 2000).map(i => s"document body number $i").toDF("text")
+    val kept = in.filter(TextAnalysis.sampleByFingerprint(col("text"), "14")).count()
+    // "14" hex = 20/256 ≈ 7.8%; md5 uniformity puts 2000 draws well within ±4%
+    assert(kept > 2000 * 0.04 && kept < 2000 * 0.12)
+    // deterministic: the same filter selects the same rows
+    val again = in.filter(TextAnalysis.sampleByFingerprint(col("text"), "14")).count()
+    assert(again === kept)
+  }
+
   test("exact cosine near-dup pairs agree with the cosine expression; LSH variant is a subset") {
     import spark.implicits._
     val vecs = Seq(
