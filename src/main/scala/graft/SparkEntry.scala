@@ -66,6 +66,7 @@ object SparkEntry {
     "q_sim_search_lsh" -> q(LlmOps.qSimSearchLsh),
     "q_sim_search_ivf" -> q(LlmOps.qSimSearchIvf),
     "q_multimodal" -> q(LlmOps.qMultimodal),
+    "q_dedup_components" -> q(LlmOps.qDedupComponents),
     "q_sample_fingerprint" -> q(LlmOps.qSampleFingerprint),
     "q_vocab_topk" -> q(LlmOps.qVocabTopk),
     "q_text_scrub" -> q(LlmOps.qTextScrub),
@@ -139,6 +140,7 @@ object SparkEntry {
     "q_dedup_cosine" -> LlmOps.qDedupCosineSql,
     "q_text_stats" -> LlmOps.qTextStatsSql,
     "q_sim_search" -> LlmOps.qSimSearchSql,
+    "q_dedup_components" -> LlmOps.qDedupComponentsSql,
     "q_sample_fingerprint" -> LlmOps.qSampleFingerprintSql,
     "q_vocab_topk" -> LlmOps.qVocabTopkSql,
     "q_text_scrub" -> LlmOps.qTextScrubSql,

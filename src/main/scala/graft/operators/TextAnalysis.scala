@@ -21,18 +21,26 @@ object TextAnalysis {
     * usual `\w+|[^\w\s]` pre-tokenizer shape). */
   def bpeTokenCount(text: Column): Column = regexp_count(text, lit("\\w+|[^\\w\\s]"))
 
+  // Character-class counts via `translate` (single-pass char-map lookup,
+  // ~set membership per char) instead of regexp_replace (regex engine per
+  // char): identical counts for these literal classes, measurably cheaper
+  // on a corpus scan where text ratios run over every byte.
+  private def countChars(text: Column, chars: String): Column =
+    length(text) - length(translate(text, chars, ""))
+
+  /** Whitespace set = the Java regex \\s class, so the count matches the
+    * former regexp_replace("\\s+") form exactly. */
   def avgTokenLen(text: Column): Column =
-    length(regexp_replace(text, "\\s+", "")).cast("double") / tokenCount(text)
+    (length(text) - countChars(text, " \t\n\u000B\f\r")).cast("double") / tokenCount(text)
 
   def punctRatio(text: Column): Column =
-    length(regexp_replace(text, "[^.,;:!?'\"()-]", "")).cast("double") /
-      greatest(length(text), lit(1))
+    countChars(text, ".,;:!?'\"()-").cast("double") / greatest(length(text), lit(1))
 
   def digitRatio(text: Column): Column =
-    length(regexp_replace(text, "[^0-9]", "")).cast("double") / greatest(length(text), lit(1))
+    countChars(text, "0123456789").cast("double") / greatest(length(text), lit(1))
 
   def upperRatio(text: Column): Column =
-    length(regexp_replace(text, "[^A-Z]", "")).cast("double") / greatest(length(text), lit(1))
+    countChars(text, ('A' to 'Z').mkString).cast("double") / greatest(length(text), lit(1))
 
   private val enStop = Seq("the", "a", "of", "and", "to", "in", "is", "it", "that", "for")
 

@@ -235,6 +235,41 @@ object LlmOps {
       .orderBy(col("doc_id"))
   }
 
+  /** Transitive dup clusters: connected components over the n-gram
+    * jaccard pair list (min-label propagation; chains A~B~C collapse to
+    * one cluster, unlike the one-hop minhashClusters view). The oracle
+    * computes the same closure with a recursive CTE — reachability then
+    * MIN over reached ids. */
+  def qDedupComponents(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.load(spark, dir, "documents").filter(col("doc_id") % 50 === 0)
+    val pairs = Dedup.ngramJaccardPairsIndexed(docs, "text", "doc_id", n = 3, threshold = 0.5)
+    Dedup.connectedComponents(docs.select(col("doc_id")), pairs)
+      .orderBy(col("doc_id"))
+  }
+
+  val qDedupComponentsSql: String = """
+    WITH RECURSIVE d AS (
+      SELECT doc_id,
+             list_distinct(list_transform(
+               generate_series(1, greatest(length(lower(text)) - 2, 1)),
+               i -> substr(lower(text), i, 3))) AS grams
+      FROM documents WHERE doc_id % 50 = 0),
+    pairs AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b
+      FROM d a JOIN d b ON a.doc_id < b.doc_id
+      WHERE CAST(len(list_intersect(a.grams, b.grams)) AS DOUBLE) /
+            len(list_distinct(list_concat(a.grams, b.grams))) >= 0.5),
+    edges AS (
+      SELECT id_a AS src, id_b AS dst FROM pairs
+      UNION ALL
+      SELECT id_b, id_a FROM pairs),
+    reach AS (
+      SELECT doc_id AS id, doc_id AS r FROM d
+      UNION
+      SELECT reach.id, e.dst FROM reach JOIN edges e ON reach.r = e.src)
+    SELECT id AS doc_id, MIN(r) AS cluster_id, MIN(r) <> id AS is_dup
+    FROM reach GROUP BY id ORDER BY doc_id"""
+
   /** Deterministic content-hash sampling (reproducible corpus subsetting):
     * md5-prefix compare is engine-neutral, so Spark and DuckDB select the
     * SAME documents — the property rand() sampling can't give. */

@@ -225,6 +225,27 @@ class LlmOpsSpec extends SparkSpec {
     assert(normal === reference)
   }
 
+  test("connected components close dup chains that one-hop clustering splits") {
+    import spark.implicits._
+    // chain 1~2~3 (1 and 3 never paired directly), pair 5~6, singleton 9
+    val nodes = Seq(1L, 2L, 3L, 5L, 6L, 9L).toDF("id")
+    val pairs = Seq((1L, 2L), (2L, 3L), (5L, 6L)).toDF("id_a", "id_b")
+    val comp = Dedup.connectedComponents(nodes, pairs)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getBoolean(2))).toMap
+    assert(comp(1L) === (1L, false))
+    assert(comp(2L) === (1L, true))
+    assert(comp(3L) === (1L, true)) // transitively reaches 1 through 2
+    assert(comp(5L) === (5L, false))
+    assert(comp(6L) === (5L, true))
+    assert(comp(9L) === (9L, false))
+    // a long path exercises multi-round propagation to a fixpoint
+    val chain = (1L to 12L).toDF("id")
+    val chainPairs = (1L until 12L).map(i => (i, i + 1)).toDF("id_a", "id_b")
+    val labels = Dedup.connectedComponents(chain, chainPairs)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(labels.forall(_._2 == 1L))
+  }
+
   test("chunking covers every token, respects overlap, and handles short docs") {
     import spark.implicits._
     val doc = (1L, (1 to 10).map(i => s"t$i").mkString(" "))
