@@ -269,6 +269,46 @@ class LlmOpsSpec extends SparkSpec {
     }
   }
 
+  test("chunking matches the window model across sizes and overlaps (property)") {
+    import spark.implicits._
+    // 40 docs of 0..39 tokens, checked against a pure-Scala window model
+    // for six (chunkSize, overlap) combos incl. degenerate ones
+    val docs = (0 until 40)
+      .map(i => (i.toLong, (1 to i).map(t => s"w$t").mkString(" "))).toDF("doc_id", "text")
+    for ((c, o) <- Seq((1, 0), (2, 1), (4, 0), (4, 2), (7, 3), (64, 8))) {
+      val got = TextAnalysis.chunk(docs, "text", "doc_id", c, o).collect()
+        .groupBy(_.getLong(0))
+        .map { case (k, rs) => k -> rs.sortBy(_.getInt(1)).map(_.getString(2)).toSeq }
+      for (i <- 0 until 40) {
+        val toks = if (i == 0) Seq("") else (1 to i).map(t => s"w$t") // split("") = [""]
+        val step = c - o
+        val nChunks = math.max(math.ceil((toks.size - c).toDouble / step), 0).toInt + 1
+        val expect = (0 until nChunks).map(j => toks.slice(j * step, j * step + c).mkString(" "))
+        assert(got(i.toLong) === expect, s"chunkSize=$c overlap=$o nTokens=$i")
+      }
+    }
+  }
+
+  test("vocabulary counts match a pure-Scala model over a generated corpus (property)") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(42)
+    val alphabet = Vector("alpha", "beta", "gamma", "delta", "x1", "xy'z")
+    val corpus = (1 to 60).map(i =>
+      (i.toLong, (0 until rnd.nextInt(20)).map(_ => alphabet(rnd.nextInt(alphabet.size))).mkString(" ")))
+    val expected = corpus.flatMap(_._2.toLowerCase.split("[^a-z0-9']+")).filter(_.nonEmpty)
+      .groupBy(identity).map { case (t, xs) => (t, xs.size.toLong) }
+    val got = TextAnalysis.vocabulary(corpus.toDF("doc_id", "text"), "text", 1000)
+      .collect().map(r => (r.getString(0), r.getLong(1))).toMap
+    assert(got === expected)
+    // ranking invariant: frequencies non-increasing, ties broken by token
+    val ranked = TextAnalysis.vocabulary(corpus.toDF("doc_id", "text"), "text", 1000)
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+    assert(ranked.sliding(2).forall {
+      case Seq((t1, f1), (t2, f2)) => f1 > f2 || (f1 == f2 && t1 < t2)
+      case _ => true
+    })
+  }
+
   test("vocabulary ranks tokens by frequency with deterministic tie-break") {
     import spark.implicits._
     val in = Seq((1L, "aa bb aa cc bb aa"), (2L, "bb cc dd, CC!")).toDF("doc_id", "text")
