@@ -68,6 +68,7 @@ object SparkEntry {
     "q_multimodal" -> q(LlmOps.qMultimodal),
     "q_dedup_components" -> q(LlmOps.qDedupComponents),
     "q_sample_fingerprint" -> q(LlmOps.qSampleFingerprint),
+    "q_sample_stratified" -> q(LlmOps.qSampleStratified),
     "q_vocab_topk" -> q(LlmOps.qVocabTopk),
     "q_text_scrub" -> q(LlmOps.qTextScrub),
     "q_chunk" -> q(LlmOps.qChunk),
@@ -142,6 +143,7 @@ object SparkEntry {
     "q_sim_search" -> LlmOps.qSimSearchSql,
     "q_dedup_components" -> LlmOps.qDedupComponentsSql,
     "q_sample_fingerprint" -> LlmOps.qSampleFingerprintSql,
+    "q_sample_stratified" -> LlmOps.qSampleStratifiedSql,
     "q_vocab_topk" -> LlmOps.qVocabTopkSql,
     "q_text_scrub" -> LlmOps.qTextScrubSql,
     "q_chunk" -> LlmOps.qChunkSql,

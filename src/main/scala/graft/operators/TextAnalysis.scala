@@ -131,6 +131,19 @@ object TextAnalysis {
   def sampleByFingerprint(text: Column, hexThreshold: String): Column =
     substring(md5(text), 1, 2) < hexThreshold
 
+  /** Stratified variant: per-stratum keep-rates (corpus rebalancing, e.g.
+    * downsampling an over-represented language). `rates` maps stratum
+    * value → two-char hex threshold; strata absent from the map keep
+    * nothing. Same engine-neutral md5 mechanics as
+    * [[sampleByFingerprint]], still a pure scan-level filter: the rate
+    * lookup compiles to a CASE chain, no join, no shuffle. */
+  def sampleStratified(text: Column, stratum: Column, rates: Map[String, String]): Column = {
+    val threshold = rates.foldLeft(lit("00")) { case (acc, (k, v)) =>
+      when(stratum === k, lit(v)).otherwise(acc)
+    }
+    substring(md5(text), 1, 2) < threshold
+  }
+
   /** Vocabulary: top-k whitespace/punctuation-split tokens by frequency
     * (tie-break on the token) — the corpus-statistics pass behind BPE
     * training and frequency filtering. Plans as explode → hash-agg with

@@ -286,6 +286,31 @@ object LlmOps {
     WHERE substr(md5(text), 1, 2) < '14'
     ORDER BY doc_id"""
 
+  /** Stratified deterministic sampling (corpus rebalancing): the
+    * over-represented language keeps fewer documents than the rest, via
+    * per-stratum md5 thresholds — the pipeline's language-mix knob, still
+    * a pure scan-level filter. */
+  def qSampleStratified(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.load(spark, dir, "documents")
+    // en ~2x over-represented in the synthetic corpus: keep ~25% of en,
+    // ~50% of the others (hex 40/256, 80/256)
+    val rates = Map("en" -> "40", "de" -> "80", "fr" -> "80", "es" -> "80", "zh" -> "80")
+    docs.filter(TextAnalysis.sampleStratified(col("text"), col("lang"), rates))
+      .groupBy(col("lang")).agg(count(lit(1)).as("n_kept"))
+      .orderBy(col("lang"))
+  }
+
+  val qSampleStratifiedSql: String = """
+    SELECT lang, COUNT(*) AS n_kept
+    FROM documents
+    WHERE substr(md5(text), 1, 2) <
+          CASE lang WHEN 'en' THEN '40'
+                    WHEN 'de' THEN '80' WHEN 'fr' THEN '80'
+                    WHEN 'es' THEN '80' WHEN 'zh' THEN '80'
+                    ELSE '00' END
+    GROUP BY lang
+    ORDER BY lang"""
+
   /** Vocabulary top-k (the corpus frequency pass behind BPE training and
     * frequency filters): explode → map-side-partial hash-agg →
     * TakeOrderedAndProject; tie-break on token keeps the cut exact. */

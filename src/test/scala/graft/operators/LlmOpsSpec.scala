@@ -329,6 +329,28 @@ class LlmOpsSpec extends SparkSpec {
     assert(out(1) === "nothing to remove here")
   }
 
+  test("stratified sampling keeps per-stratum proportions and drops unmapped strata") {
+    import spark.implicits._
+    val in = (1 to 3000).map(i =>
+      (s"doc body $i", if (i % 3 == 0) "en" else if (i % 3 == 1) "de" else "xx"))
+      .toDF("text", "lang")
+    val rates = Map("en" -> "80", "de" -> "20") // ~50% and ~12.5%
+    val kept = in.filter(TextAnalysis.sampleStratified(col("text"), col("lang"), rates))
+      .groupBy("lang").count().collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(!kept.contains("xx")) // unmapped stratum keeps nothing
+    assert(kept("en") > 1000 * 0.40 && kept("en") < 1000 * 0.60)
+    assert(kept("de") > 1000 * 0.06 && kept("de") < 1000 * 0.19)
+    // subset property: the stratified sample of a stratum is exactly the
+    // flat sample at that stratum's rate (same hash, same threshold)
+    val flat = in.filter(col("lang") === "de")
+      .filter(TextAnalysis.sampleByFingerprint(col("text"), "20"))
+      .select("text").collect().map(_.getString(0)).toSet
+    val strat = in.filter(TextAnalysis.sampleStratified(col("text"), col("lang"), rates))
+      .filter(col("lang") === "de")
+      .select("text").collect().map(_.getString(0)).toSet
+    assert(strat === flat)
+  }
+
   test("fingerprint sampling is deterministic and roughly proportional") {
     import spark.implicits._
     val in = (1 to 2000).map(i => s"document body number $i").toDF("text")
