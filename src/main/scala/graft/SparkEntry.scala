@@ -72,6 +72,7 @@ object SparkEntry {
     "q_vocab_topk" -> q(LlmOps.qVocabTopk),
     "q_text_scrub" -> q(LlmOps.qTextScrub),
     "q_chunk" -> q(LlmOps.qChunk),
+    "q_pack" -> q(LlmOps.qPack),
     "q_join_salted" -> q(Joins.qJoinSalted),
     // §2.1 sources + sinks
     "q_json_scan" -> q(SourceSink.qJsonScan),
@@ -147,6 +148,7 @@ object SparkEntry {
     "q_vocab_topk" -> LlmOps.qVocabTopkSql,
     "q_text_scrub" -> LlmOps.qTextScrubSql,
     "q_chunk" -> LlmOps.qChunkSql,
+    "q_pack" -> LlmOps.qPackSql,
     "q_join_salted" -> Joins.qJoinSaltedSql,
     "q_json_scan" -> SourceSink.qJsonScanSql,
     "q_csv_scan" -> SourceSink.qCsvScanSql,

@@ -157,6 +157,29 @@ object TextAnalysis {
       .orderBy(col("freq").desc, col("token"))
       .limit(k)
 
+  /** Budgeted contiguous packing (the step after chunking: assign chunks
+    * to fixed-token-budget training batches). Within each partition group,
+    * rows are taken in `order` and batch k covers the rows whose EXCLUSIVE
+    * running token total lies in [k*budget, (k+1)*budget) — i.e. batch
+    * boundaries fall where the cumulative count crosses a budget multiple,
+    * so a batch may overflow by at most one chunk (the standard streaming
+    * packer, and — unlike greedy bin packing — expressible as ONE window
+    * prefix-sum, deterministic, and engine-neutral). Plans as a single
+    * shuffle on the partition keys + in-partition running sum; no
+    * driver-side loop, no second pass. */
+  def packByBudget(df: org.apache.spark.sql.DataFrame, tokenCol: String,
+      partitionCols: Seq[String], orderCols: Seq[String], budget: Int): org.apache.spark.sql.DataFrame = {
+    require(budget > 0, s"budget must be positive, got $budget")
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(partitionCols.map(col): _*)
+      .orderBy(orderCols.map(col): _*)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    df.withColumn("__cum", sum(col(tokenCol)).over(w))
+      .withColumn("batch_id",
+        floor((col("__cum") - col(tokenCol)).cast("double") / budget).cast("long"))
+      .drop("__cum")
+  }
+
   /** Fixed-size token chunking with overlap (context-window packing for
     * training): split into whitespace tokens, emit windows of `chunkSize`
     * tokens advancing by `chunkSize - overlap`. The window starts come from a

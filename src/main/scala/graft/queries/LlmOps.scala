@@ -353,6 +353,47 @@ object LlmOps {
     FROM documents
     ORDER BY doc_id"""
 
+  /** Chunk then pack into 256-token training batches per language: the
+    * full chunk→pack pipeline shape. Packing is one window prefix-sum
+    * over (lang, doc order) — a single shuffle on the partition key. */
+  def qPack(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.load(spark, dir, "documents").filter(col("doc_id") % 20 === 0)
+    val chunks = TextAnalysis.chunk(docs, "text", "doc_id", chunkSize = 64, overlap = 8)
+      .withColumn("n_tokens", TextAnalysis.tokenCount(col("chunk")))
+    val withLang = chunks.join(broadcast(docs.select(col("doc_id"), col("lang"))), Seq("doc_id"))
+    TextAnalysis.packByBudget(withLang, "n_tokens",
+        partitionCols = Seq("lang"), orderCols = Seq("doc_id", "chunk_id"), budget = 256)
+      .groupBy(col("lang"), col("batch_id"))
+      .agg(count(lit(1)).as("n_chunks"), sum(col("n_tokens")).as("batch_tokens"))
+      .orderBy(col("lang"), col("batch_id"))
+  }
+
+  val qPackSql: String = """
+    WITH t AS (
+      SELECT doc_id, string_split_regex(trim(text), '\s+') AS toks
+      FROM documents WHERE doc_id % 20 = 0),
+    s AS (
+      SELECT doc_id, toks,
+             unnest(generate_series(0,
+               greatest(CAST(ceil((len(toks) - 64) / 56.0) AS INT), 0))) AS chunk_id
+      FROM t),
+    c AS (
+      SELECT doc_id, chunk_id,
+             len(toks[chunk_id*56 + 1 : chunk_id*56 + 64]) AS n_tokens
+      FROM s),
+    p AS (
+      SELECT d.lang, c.doc_id, c.chunk_id, c.n_tokens,
+             SUM(c.n_tokens) OVER (PARTITION BY d.lang ORDER BY c.doc_id, c.chunk_id
+                                   ROWS UNBOUNDED PRECEDING) AS cum
+      FROM c JOIN documents d ON c.doc_id = d.doc_id)
+    SELECT lang,
+           CAST(floor(CAST(cum - n_tokens AS DOUBLE) / 256) AS BIGINT) AS batch_id,
+           COUNT(*) AS n_chunks,
+           CAST(SUM(n_tokens) AS BIGINT) AS batch_tokens
+    FROM p
+    GROUP BY 1, 2
+    ORDER BY lang, batch_id"""
+
   /** Fixed-size token chunking with overlap (context-window packing):
     * per-row sequence + explode, no shuffle; the oracle rebuilds the same
     * windows with generate_series + list slicing. */

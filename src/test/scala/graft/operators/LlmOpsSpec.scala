@@ -309,6 +309,28 @@ class LlmOpsSpec extends SparkSpec {
     })
   }
 
+  test("packByBudget assigns contiguous batches that respect the exclusive-prefix rule") {
+    import spark.implicits._
+    // token counts 100,100,100,60,200 under budget 256, one group:
+    // exclusive prefix sums 0,100,200,300,360 → batches 0,0,0,1,1
+    val in = Seq(
+      ("g", 1, 100), ("g", 2, 100), ("g", 3, 100), ("g", 4, 60), ("g", 5, 200),
+      ("h", 1, 300) // other group packs independently, oversized chunk still batch 0
+    ).toDF("grp", "ord", "n")
+    val got = TextAnalysis.packByBudget(in, "n", Seq("grp"), Seq("ord"), 256)
+      .collect().map(r => ((r.getString(0), r.getInt(1)), r.getLong(3))).toMap
+    assert(got(("g", 1)) === 0L && got(("g", 2)) === 0L && got(("g", 3)) === 0L)
+    assert(got(("g", 4)) === 1L && got(("g", 5)) === 1L)
+    assert(got(("h", 1)) === 0L)
+    // batches are contiguous in order: batch ids are non-decreasing
+    val seqG = TextAnalysis.packByBudget(in, "n", Seq("grp"), Seq("ord"), 256)
+      .filter(col("grp") === "g").orderBy("ord").collect().map(_.getLong(3)).toSeq
+    assert(seqG === seqG.sorted)
+    intercept[IllegalArgumentException] {
+      TextAnalysis.packByBudget(in, "n", Seq("grp"), Seq("ord"), 0)
+    }
+  }
+
   test("vocabulary ranks tokens by frequency with deterministic tie-break") {
     import spark.implicits._
     val in = Seq((1L, "aa bb aa cc bb aa"), (2L, "bb cc dd, CC!")).toDF("doc_id", "text")
