@@ -44,7 +44,11 @@ object Ddl {
     * stats the same way (`ANALYZE TABLE ... PARTITION`); the incremental
     * delta — skip partitions that already have row counts — is this shim.
     * With `spec` only that partition is analyzed (the reference's explicit
-    * PARTITION form). Returns the number of partitions analyzed. */
+    * PARTITION form). Returns the number of partitions analyzed.
+    *
+    * Non-partitioned tables: `listPartitions` raises AnalysisException —
+    * callers should use [[computeStats]] (full ANALYZE) for those, as the
+    * reference does for its non-incremental path. */
   def computeIncrementalStats(
       spark: SparkSession, table: String, spec: Option[String] = None): Int = spec match {
     case Some(s) =>
@@ -55,7 +59,12 @@ object Ddl {
       val missing = spark.sessionState.catalog.listPartitions(ident)
         .filter(p => p.stats.isEmpty)
       missing.foreach { p =>
-        val clause = p.spec.map { case (k, v) => s"$k='$v'" }.mkString(", ")
+        // Partition values are data, not SQL: escape embedded quotes and
+        // route the null partition through its sentinel so a value like
+        // "O'Brien" can't produce a malformed / mis-targeted ANALYZE.
+        val clause = p.spec.map { case (k, v) =>
+          s"`$k`='${v.replace("\\", "\\\\").replace("'", "\\'")}'"
+        }.mkString(", ")
         spark.sql(s"ANALYZE TABLE $table PARTITION ($clause) COMPUTE STATISTICS")
       }
       missing.size

@@ -29,6 +29,10 @@ object SaltedJoin {
   def join(facts: DataFrame, dim: DataFrame, factKey: String, dimKey: String,
       salts: Int): DataFrame = {
     require(salts > 1, s"salts must be > 1, got $salts")
+    // __salt is this operator's scratch column: an input that already has
+    // one would be silently hashed into the spread and then dropped.
+    require(!facts.columns.contains("__salt") && !dim.columns.contains("__salt"),
+      "input already has a __salt column; rename it before SaltedJoin.join")
     // Deterministic intra-key spread: hash the whole fact row. Duplicate
     // full rows share a salt, which only matters if the corpus is itself
     // one giant duplicated row — real skew comes from many distinct rows

@@ -194,14 +194,26 @@ object FunctionCorpus {
   // propagation rules; decimal DIVISION intermediate scales legitimately
   // differ between engines (Spark pads to max(6,s1+s2+1), DuckDB keeps
   // dividend-based scale) and is exercised via double division instead.
-  // EVERY output column carries an explicit outer CAST: the driver's hash
-  // is type-tagged and each engine's (and each DuckDB build's) precision
-  // propagation for +/- differs — an unpinned result type is a driver red
-  // even when all cell values match. Decimal INPUTS are derived from exact
-  // integer cents (round(x*100) -> BIGINT -> DECIMAL / 100) rather than a
-  // narrowing CAST(double AS DECIMAL): a 2-decimal value stored as a binary
-  // double (…489999999998) rounds build-dependently at the narrowing cast,
-  // while the cents route is IEEE-exact in both engines (the r4 residual).
+  // Decimal INPUTS are derived from exact integer cents (round(x*100) ->
+  // BIGINT -> DECIMAL / 100) rather than narrowing double->decimal casts.
+  //
+  // ROUND-6 ROOT-CAUSE of the long-red driver hash: with the r5 body, a
+  // zero-normalization cell diff (tools/celldiff.py) of the Verify output
+  // vs the DuckDB oracle at sf0.01 shows 0 differing cells over 1540 rows
+  // and identical arrow schemas (decimal128 p,s equal per column) — the
+  // VALUES have been right since r4. The remaining divergence had to live
+  // in the driver's hash encoding of decimal-typed OUTPUT columns (e.g.
+  // newer DuckDB emits arrow decimal64 for p<=18 where a Spark parquet
+  // file reads back as decimal128; pandas renders Decimal vs float64
+  // differently) — this entry was the ONLY one in the whole catalog with
+  // decimal-typed output columns, and the only hash-red, every round.
+  // Fix: keep every operator computed in decimal space with its result
+  // type pinned by the inner CAST (that is the component under test —
+  // FunctionCorpusSpec asserts the pre-string DecimalType(p,s) of each
+  // operator), then render each output through CAST(... AS STRING) on
+  // both sides: a pinned-scale decimal has one canonical decimal string
+  // ("123.45", trailing zeros kept) in both engines, taking the driver's
+  // decimal column encoding out of the hashed surface entirely.
   private val decimalSrc: String = """
       (SELECT l_orderkey, l_linenumber,
               CAST(CAST(CAST(round(l_extendedprice * 100) AS BIGINT) AS DECIMAL(14,2)) / 100 AS DECIMAL(12,2)) AS d_price,
@@ -214,13 +226,13 @@ object FunctionCorpus {
 
   private def qFnDecimalBody(strTy: String): String = s"""
       SELECT l_orderkey, l_linenumber,
-             CAST(d_price + d_tax  AS DECIMAL(14,2))            AS dadd,
-             CAST(d_price - d_disc AS DECIMAL(14,2))            AS dsub,
-             CAST(d_qty * d_disc AS DECIMAL(20,4))              AS dmul,
-             CAST(d_price % CAST(7 AS DECIMAL(4,0)) AS DECIMAL(12,2)) AS dmod,
-             CAST(d_price AS $strTy)                            AS dstr,
-             CAST(d_qty3 AS DECIMAL(20,5))                      AS dwiden,
-             CAST(-d_price AS DECIMAL(14,2))                    AS dneg
+             CAST(CAST(d_price + d_tax  AS DECIMAL(14,2)) AS $strTy)            AS dadd,
+             CAST(CAST(d_price - d_disc AS DECIMAL(14,2)) AS $strTy)            AS dsub,
+             CAST(CAST(d_qty * d_disc AS DECIMAL(20,4)) AS $strTy)              AS dmul,
+             CAST(CAST(d_price % CAST(7 AS DECIMAL(4,0)) AS DECIMAL(12,2)) AS $strTy) AS dmod,
+             CAST(d_price AS $strTy)                                            AS dstr,
+             CAST(CAST(d_qty3 AS DECIMAL(20,5)) AS $strTy)                      AS dwiden,
+             CAST(CAST(-d_price AS DECIMAL(14,2)) AS $strTy)                    AS dneg
       FROM $decimalSrc
       ORDER BY l_orderkey, l_linenumber"""
 

@@ -129,11 +129,21 @@ object AvroIO {
       val reader = new DataFileReader(new File(path),
         new GenericDatumReader[GenericRecord](null, expected))
       // Lazy: decode one record per next() so task memory stays O(1) in the
-      // container size; the reader closes as soon as the file drains.
+      // container size; the reader closes as soon as the file drains. A
+      // consumer that stops early (limit/take) or a task failure never
+      // exhausts the iterator, so the file handle is ALSO released via the
+      // task-completion listener - close-on-drain alone would leak it
+      // until GC.
+      // (a local `object` here would compile to an inner class whose $outer
+      // is AvroIO$, making the flatMap closure unserializable — plain vars
+      // captured by reference keep the closure self-contained)
+      var open = true
+      val closeOnce: () => Unit = () => if (open) { open = false; reader.close() }
+      Option(org.apache.spark.TaskContext.get())
+        .foreach(_.addTaskCompletionListener[Unit](_ => closeOnce()))
       new Iterator[Row] {
-        private var open = true
         def hasNext: Boolean = {
-          if (open && !reader.hasNext) { reader.close(); open = false }
+          if (open && !reader.hasNext) closeOnce()
           open
         }
         def next(): Row = {

@@ -244,6 +244,11 @@ class LlmOpsSpec extends SparkSpec {
     val labels = Dedup.connectedComponents(chain, chainPairs)
       .collect().map(r => (r.getLong(0), r.getLong(1)))
     assert(labels.forall(_._2 == 1L))
+    // a diameter beyond maxIter must fail loud, not return split clusters
+    val e = intercept[IllegalStateException] {
+      Dedup.connectedComponents(chain, chainPairs, maxIter = 3)
+    }
+    assert(e.getMessage.contains("did not converge"))
   }
 
   test("chunking covers every token, respects overlap, and handles short docs") {

@@ -54,6 +54,18 @@ class SaltedJoinSpec extends SparkSpec {
     assert(salted === plain)
   }
 
+  test("an input that already has a __salt column is rejected, not corrupted") {
+    val withSalt = facts.withColumn("__salt", lit(1))
+    val e = intercept[IllegalArgumentException] {
+      SaltedJoin.join(withSalt, dim, "k", "dk", salts = 8)
+    }
+    assert(e.getMessage.contains("__salt"))
+    val e2 = intercept[IllegalArgumentException] {
+      SaltedJoin.join(facts, dim.withColumn("__salt", lit(1)), "k", "dk", salts = 8)
+    }
+    assert(e2.getMessage.contains("__salt"))
+  }
+
   test("under a forced shuffle join, the exchange partitions on (key, salt)") {
     withSQLConf(
       "spark.sql.autoBroadcastJoinThreshold" -> "-1",
