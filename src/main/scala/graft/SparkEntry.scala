@@ -189,8 +189,13 @@ object SparkEntry {
     "q_madlib_vector" -> Extras.qMadlibVectorSql,
     "q_char_padding" -> Extras.qCharPaddingSql,
     "q_ext_source" -> Extras.qExtSourceSql,
-    "q_partitioned_alter" -> Extras.qPartitionedAlterSql
-    // q_dedup_minhash / q_text_fingerprints / q_sim_search_lsh / q_multimodal:
-    // hash-seeded operators DuckDB SQL can't reproduce — rows-only checks.
+    "q_partitioned_alter" -> Extras.qPartitionedAlterSql,
+    "q_dedup_minhash" -> LlmOps.qDedupMinhashSql,
+    "q_text_fingerprints" -> LlmOps.qTextFingerprintsSql,
+    "q_multimodal" -> LlmOps.qMultimodalSql
+    // Still rows-only by design: q_agg_approx (HLL++/quantile sketches),
+    // q_sim_search_lsh / q_sim_search_ivf (fnv hyperplanes / k-means
+    // buckets DuckDB can't derive — both carry an in-engine recall_at_k
+    // column pinned by LlmOpsSpec instead).
   )
 }

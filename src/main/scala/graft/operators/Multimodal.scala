@@ -24,15 +24,27 @@ object Multimodal {
   case class FeatureRow(media_id: Long, format: String, n_bytes: Int, features: Array[Float])
 
   /** STUB decode kernel — deterministic fake features from raw bytes.
-    * Real implementation would decode pixels/samples here. */
+    * Real implementation would decode pixels/samples here.
+    *
+    * The fake features derive from md5 over growing character prefixes of
+    * the UTF-8 payload (feature i = value of the first hex digit of
+    * md5(prefix of 64*(i+1) chars) / 16, exact in float), so the stub's
+    * output is re-derivable by any engine with stock md5 — which lets the
+    * whole binary→decode→aggregate pipeline be checked against an external
+    * SQL oracle instead of rows-only. */
   object FakeCodec {
     val featureDims = 8
     def decode(bytes: Array[Byte]): Array[Float] = {
+      val text = new String(bytes, java.nio.charset.StandardCharsets.UTF_8)
+      val md = java.security.MessageDigest.getInstance("MD5")
       val out = new Array[Float](featureDims)
       var i = 0
       while (i < featureDims) {
-        val h = graft.functions.FnvHash64.hashBytes(bytes, math.min(bytes.length, 64 * (i + 1)))
-        out(i) = ((h >>> 16) % 1000L).toFloat / 1000.0f
+        val prefix = text.substring(0, math.min(text.length, 64 * (i + 1)))
+        md.reset()
+        val d = md.digest(prefix.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+        val hexVal = (d(0) >> 4) & 0xf // first hex char of the digest
+        out(i) = hexVal / 16.0f
         i += 1
       }
       out

@@ -202,6 +202,55 @@ object TextAnalysis {
         array_join(slice(col("toks"), col("chunk_id") * step + 1, lit(chunkSize)), " ").as("chunk"))
   }
 
+  private val hexDigits = "0123456789abcdef"
+
+  /** Portable 64-bit content fingerprint: leading 16 hex chars of md5 over
+    * the whitespace-normalized lowercase text. Same normalization as
+    * [[fingerprint64]] but built on md5, which every engine computes
+    * identically — the form to use when the fingerprint must be
+    * re-derivable outside Spark (cross-engine audits, oracle checks).
+    * The fnv form stays the production default: a single codegen'd long,
+    * no 32-char string per row. */
+  def fingerprintHex(text: Column): Column =
+    substring(md5(regexp_replace(lower(trim(text)), "\\s+", " ")), 1, 16)
+
+  /** Portable SimHash-64 over md5 token hashes, emitted as a 16-char hex
+    * string: bit b of the fingerprint is the majority vote of bit b across
+    * the tokens' md5-derived 64-bit hashes (first 16 hex chars, each hex
+    * digit contributing its 4 bits MSB-first). Identical simhash semantics
+    * to [[simhashTable]]; the hash family is md5 so ANY engine can
+    * reproduce the value byte-for-byte (xxhash64 exists only in Spark).
+    * Hex-string output sidesteps signed-long representation differences.
+    *
+    * Plans exactly like [[simhashTable]]: explode → one md5 per token →
+    * 64 codegen'd SUM votes with map-side partials → 16-char reassembly.
+    * The extra cost over the xxhash form is the md5 (16 bytes vs 8) and
+    * the digit-value projection — still one scan, one hash-agg, no
+    * shuffle beyond the groupBy. */
+  def simhashHexTable(docs: org.apache.spark.sql.DataFrame, textCol: String, idCol: String): org.apache.spark.sql.DataFrame = {
+    val toks = split(lower(trim(col(textCol))), "\\s+")
+    val hashed = docs
+      .select(col(idCol).as("doc_id"), explode(toks).as("tok"))
+      .withColumn("h", md5(col("tok")))
+    // materialize the 16 hex-digit values once; each digit feeds 4 bit-votes
+    val withVals = hashed.select(
+      col("doc_id") +: (0 until 16).map(j =>
+        (expr(s"instr('$hexDigits', substring(h, ${j + 1}, 1))") - 1).as(s"hv$j")): _*)
+    val votes = (0 until 64).map { b =>
+      val j = b / 4            // hex char index (0-based)
+      val k = 3 - (b % 4)      // bit within the digit, MSB-first
+      sum(when(shiftright(col(s"hv$j"), k).bitwiseAND(1) === 1, 1).otherwise(-1)).as(s"v$b")
+    }
+    val agged = withVals.groupBy(col("doc_id")).agg(votes.head, votes.tail: _*)
+    val outDigits = (0 until 16).map { j =>
+      val v = (0 until 4).map { m =>
+        when(col(s"v${j * 4 + m}") >= 0, 1 << (3 - m)).otherwise(0)
+      }.reduce(_ + _)
+      lit(hexDigits).substr(v + 1, lit(1))
+    }
+    agged.select(col("doc_id"), concat(outDigits: _*).as("simhash_hex"))
+  }
+
   /** Bulk simhash as a relational plan: token explode → codegen'd hash-agg
     * of 64 bit-votes → bit-pack. Same result as [[simhash64]] but the
     * per-token loop runs inside whole-stage codegen with map-side partial

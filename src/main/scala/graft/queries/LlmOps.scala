@@ -24,11 +24,71 @@ object LlmOps {
     GROUP BY md5(text)
     ORDER BY fp"""
 
-  /** MinHash-LSH near-dup clusters: deterministic (hash-seeded, no RNG) but
-    * not expressible in DuckDB SQL → rows-only oracle. Always |docs| rows. */
+  /** MinHash-LSH near-dup clusters, md5 hash family: the full pipeline
+    * (shingle → 16 minhashes → 4 LSH bands → bucket-capped candidate join
+    * → exact-jaccard verify → one-hop clusters) is re-derived end-to-end
+    * by the DuckDB oracle below, so the entry is hash-checked rather than
+    * rows-only. The xxhash64 production family (slimmer shuffles, same
+    * algorithm) stays covered by LlmOpsSpec. Always |docs| rows. */
   def qDedupMinhash(spark: SparkSession, dir: String): DataFrame = {
     val docs = Tables.load(spark, dir, "documents")
-    Dedup.minhashClusters(docs, "text", "doc_id").orderBy(col("doc_id"))
+    Dedup.minhashClustersPortable(docs, "text", "doc_id").orderBy(col("doc_id"))
+  }
+
+  /** DuckDB mirror of [[qDedupMinhash]] — generated with the same loops as
+    * the Spark side (16 hashes, 4 bands of 4 rows, jaccard >= 0.6, bucket
+    * cap 1000) so the two texts cannot drift independently. min() over
+    * fixed-length lowercase md5 hex strings is order-isomorphic to min()
+    * over the 128-bit hash values, which is what makes the signature
+    * portable. */
+  val qDedupMinhashSql: String = {
+    val sigs = (0 until 16).map(i => s"min(md5('mh$i|' || sh)) AS mh$i")
+      .mkString(",\n             ")
+    val bandList = (0 until 4).map { b =>
+      val cols = (4 * b until 4 * b + 4).map(r => s"mh$r").mkString(" || '|' || ")
+      s"md5('$b' || '|' || $cols)"
+    }.mkString(",\n               ")
+    s"""
+    WITH t AS (
+      SELECT doc_id, string_split_regex(lower(trim(text)), '\\s+') AS toks
+      FROM documents),
+    p AS (
+      SELECT doc_id, toks,
+             unnest(generate_series(0, greatest(len(toks) - 3, 0))) AS pos
+      FROM t),
+    sh AS (
+      SELECT doc_id, concat_ws(' ', toks[pos+1], toks[pos+2], toks[pos+3]) AS sh
+      FROM p),
+    sigs AS (
+      SELECT doc_id,
+             $sigs
+      FROM sh GROUP BY doc_id),
+    banded AS (
+      SELECT doc_id,
+             unnest([$bandList]) AS band
+      FROM sigs),
+    capped AS (
+      SELECT * FROM banded
+      WHERE band NOT IN (SELECT band FROM banded GROUP BY band HAVING COUNT(*) > 1000)),
+    cand AS (
+      SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+      FROM capped a JOIN capped b USING (band)
+      WHERE a.doc_id < b.doc_id),
+    sets AS (
+      SELECT doc_id, list_distinct(list(sh)) AS s FROM sh GROUP BY doc_id),
+    ver AS (
+      SELECT id_a, id_b
+      FROM cand
+      JOIN sets sa ON sa.doc_id = cand.id_a
+      JOIN sets sb ON sb.doc_id = cand.id_b
+      WHERE CAST(len(list_intersect(sa.s, sb.s)) AS DOUBLE) /
+            len(list_distinct(list_concat(sa.s, sb.s))) >= 0.6),
+    rep AS (
+      SELECT id_b AS doc_id, MIN(id_a) AS rep_id FROM ver GROUP BY id_b)
+    SELECT d.doc_id, COALESCE(r.rep_id, d.doc_id) AS rep_id,
+           r.rep_id IS NOT NULL AS is_dup
+    FROM documents d LEFT JOIN rep r USING (doc_id)
+    ORDER BY doc_id"""
   }
 
   /** n-gram Jaccard dedup: exact char-trigram jaccard over all pairs of a
@@ -184,33 +244,58 @@ object LlmOps {
     FROM ranked WHERE rnk <= 5
     ORDER BY query_id, rnk"""
 
+  /** Per-row recall annotation for an ANN result: joins the ANN top-k
+    * against the in-engine exact top-k and adds `recall_at_k` (fraction of
+    * true top-k ids the ANN run retrieved, repeated on each of the query's
+    * rows). Makes the ANN entries carry their own quality measurement as
+    * DATA — LlmOpsSpec pins the values at the driver's scale factors. */
+  private def withRecall(ann: DataFrame, exact: DataFrame, k: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val hits = ann.join(
+      exact.select(col("query_id"), col("cand_id"), lit(1).as("hit")),
+      Seq("query_id", "cand_id"), "left_outer")
+    hits
+      .withColumn("recall_at_k",
+        sum(coalesce(col("hit"), lit(0))).over(Window.partitionBy(col("query_id")))
+          .cast("double") / k)
+      .drop("hit")
+  }
+
   /** LSH-bucketed top-3 (the 100 TB candidate-generation path): rows-only
     * oracle — buckets derive from fnv-seeded hyperplanes DuckDB can't
-    * reproduce in SQL. */
+    * reproduce in SQL — but every row carries `recall_at_k` vs the exact
+    * top-3 computed in-engine, and LlmOpsSpec pins those values. */
   def qSimSearchLsh(spark: SparkSession, dir: String): DataFrame = {
     val emb = Tables.load(spark, dir, "embeddings")
-    Similarity.lshTopK(
-        emb.filter(col("vec_id") < 10),
-        emb.filter(col("vec_id") >= 10),
-        "vec_id", "embedding", k = 3)
+    val queries = emb.filter(col("vec_id") < 10)
+    val corpus = emb.filter(col("vec_id") >= 10)
+    withRecall(
+        Similarity.lshTopK(queries, corpus, "vec_id", "embedding", k = 3),
+        Similarity.bruteForceTopK(queries, corpus, "vec_id", "embedding", k = 3), k = 3)
       .orderBy(col("query_id"), col("rnk"))
   }
 
   /** IVF-bucketed top-3 (data-adaptive centroids vs the LSH variant's
     * oblivious hyperplanes): rows-only oracle — k-means buckets aren't
-    * reproducible in DuckDB SQL. */
+    * reproducible in DuckDB SQL — with the same in-engine `recall_at_k`
+    * annotation as [[qSimSearchLsh]]. */
   def qSimSearchIvf(spark: SparkSession, dir: String): DataFrame = {
     val emb = Tables.load(spark, dir, "embeddings")
-    graft.operators.Similarity.ivfTopK(
-        emb.filter(col("vec_id") < 10),
-        emb.filter(col("vec_id") >= 10),
-        "vec_id", "embedding", k = 3)
+    val queries = emb.filter(col("vec_id") < 10)
+    val corpus = emb.filter(col("vec_id") >= 10)
+    withRecall(
+        Similarity.ivfTopK(queries, corpus, "vec_id", "embedding", k = 3, nProbe = 4),
+        Similarity.bruteForceTopK(queries, corpus, "vec_id", "embedding", k = 3), k = 3)
       .orderBy(col("query_id"), col("rnk"))
   }
 
   /** Multimodal plumbing: binary media + metadata → batch feature
-    * extraction (stubbed codec) → per-format aggregate. Deterministic;
-    * rows-only oracle (binary pipeline not expressible in DuckDB). */
+    * extraction (stubbed codec) → per-format aggregate. The stub codec
+    * derives features from md5 over UTF-8 character prefixes, so the whole
+    * binary → Dataset[MediaRow] → mapPartitions decode → aggregate
+    * pipeline is re-derivable by the DuckDB oracle — hash-checked, not
+    * rows-only. Feature values are k/16 (exact at 4 decimal digits), so
+    * the decimal-exact sum never rounds. */
   def qMultimodal(spark: SparkSession, dir: String): DataFrame = {
     val docs = Tables.load(spark, dir, "documents")
     val media = Multimodal.mediaFromDocuments(docs)
@@ -220,19 +305,72 @@ object LlmOps {
       .agg(
         count(lit(1)).as("n_media"),
         sum(col("n_bytes")).as("total_bytes"),
-        Parity.dsum(element_at(col("features"), 1).cast("double"), 3).as("sum_f0"))
+        Parity.dsum(element_at(col("features"), 1).cast("double"), 4).as("sum_f0"))
       .orderBy(col("format"))
   }
 
-  /** SimHash near-dup surface: per-doc fingerprint + simhash (bulk
-    * relational path) — deterministic, rows-only oracle. */
+  val qMultimodalSql: String = s"""
+    WITH m AS (
+      SELECT doc_id,
+             CASE WHEN n_chars % 3 = 0 THEN 'png'
+                  WHEN n_chars % 3 = 1 THEN 'jpeg'
+                  ELSE 'webp' END AS format,
+             strlen(text) AS n_bytes,
+             (strpos('0123456789abcdef', substr(md5(substr(text, 1, 64)), 1, 1)) - 1) / 16.0 AS f0
+      FROM documents)
+    SELECT format, COUNT(*) AS n_media,
+           CAST(SUM(n_bytes) AS BIGINT) AS total_bytes,
+           ${Parity.dsumSql("f0", 4)} AS sum_f0
+    FROM m GROUP BY format ORDER BY format"""
+
+  /** SimHash near-dup surface: per-doc content fingerprint + simhash over
+    * the md5 hash family ([[TextAnalysis.fingerprintHex]] /
+    * [[TextAnalysis.simhashHexTable]]) — bit-identical under any engine
+    * with stock md5, so the entry is hash-checked end to end. The
+    * fnv/xxhash production forms (one codegen'd long per doc, no hex
+    * strings) stay covered by FnvHashSpec + LlmOpsSpec. */
   def qTextFingerprints(spark: SparkSession, dir: String): DataFrame = {
     val docs = Tables.load(spark, dir, "documents")
     docs.select(
         col("doc_id"),
-        TextAnalysis.fingerprint64(col("text")).as("fp64"))
-      .join(TextAnalysis.simhashTable(docs, "text", "doc_id"), Seq("doc_id"))
+        TextAnalysis.fingerprintHex(col("text")).as("fp_hex"))
+      .join(TextAnalysis.simhashHexTable(docs, "text", "doc_id"), Seq("doc_id"))
       .orderBy(col("doc_id"))
+  }
+
+  /** DuckDB mirror of [[qTextFingerprints]] — generated with the same bit
+    * loops as [[TextAnalysis.simhashHexTable]] (64 majority votes over
+    * md5-derived token-hash bits, hex digits MSB-first). */
+  val qTextFingerprintsSql: String = {
+    val digitVals = (0 until 16).map(j =>
+      s"strpos('0123456789abcdef', substr(h, ${j + 1}, 1)) - 1 AS hv$j")
+      .mkString(",\n             ")
+    val votes = (0 until 64).map { b =>
+      val j = b / 4
+      val k = 3 - (b % 4)
+      s"SUM(CASE WHEN (hv$j // ${1 << k}) % 2 = 1 THEN 1 ELSE -1 END) AS v$b"
+    }.mkString(",\n             ")
+    val chars = (0 until 16).map { j =>
+      val v = (0 until 4).map(m =>
+        s"(CASE WHEN v${j * 4 + m} >= 0 THEN ${1 << (3 - m)} ELSE 0 END)").mkString(" + ")
+      s"substr('0123456789abcdef', ($v) + 1, 1)"
+    }.mkString(" ||\n           ")
+    s"""
+    WITH tok AS (
+      SELECT doc_id, unnest(string_split_regex(lower(trim(text)), '\\s+')) AS tok
+      FROM documents),
+    h AS (SELECT doc_id, md5(tok) AS h FROM tok),
+    hv AS (SELECT doc_id,
+             $digitVals
+           FROM h),
+    votes AS (SELECT doc_id,
+             $votes
+           FROM hv GROUP BY doc_id)
+    SELECT d.doc_id,
+           substr(md5(regexp_replace(lower(trim(d.text)), '\\s+', ' ', 'g')), 1, 16) AS fp_hex,
+           $chars AS simhash_hex
+    FROM documents d JOIN votes USING (doc_id)
+    ORDER BY doc_id"""
   }
 
   /** Transitive dup clusters: connected components over the n-gram
