@@ -73,6 +73,8 @@ object SparkEntry {
     "q_text_scrub" -> q(LlmOps.qTextScrub),
     "q_chunk" -> q(LlmOps.qChunk),
     "q_pack" -> q(LlmOps.qPack),
+    "q_dedup_lines" -> q(LlmOps.qDedupLines),
+    "q_rep_filters" -> q(LlmOps.qRepFilters),
     "q_join_salted" -> q(Joins.qJoinSalted),
     // §2.1 sources + sinks
     "q_json_scan" -> q(SourceSink.qJsonScan),
@@ -191,6 +193,8 @@ object SparkEntry {
     "q_ext_source" -> Extras.qExtSourceSql,
     "q_partitioned_alter" -> Extras.qPartitionedAlterSql,
     "q_dedup_minhash" -> LlmOps.qDedupMinhashSql,
+    "q_dedup_lines" -> LlmOps.qDedupLinesSql,
+    "q_rep_filters" -> LlmOps.qRepFiltersSql,
     "q_text_fingerprints" -> LlmOps.qTextFingerprintsSql,
     "q_multimodal" -> LlmOps.qMultimodalSql
     // Still rows-only by design: q_agg_approx (HLL++/quantile sketches),

@@ -251,6 +251,50 @@ object TextAnalysis {
     agged.select(col("doc_id"), concat(outDigits: _*).as("simhash_hex"))
   }
 
+  /** Per-document repetition metrics (the Gopher-style repetition quality
+    * filters): documents dominated by repeated lines or by one n-gram are
+    * low-quality machine/boilerplate text and get filtered before
+    * training.
+    *
+    *  - `dup_line_frac`: fraction of lines that are repeats of an earlier
+    *    line (1 - distinct/total)
+    *  - `dup_line_char_frac`: fraction of line characters sitting in
+    *    those repeated occurrences
+    *  - `top_2gram_frac`: token coverage of the single most frequent word
+    *    2-gram (2 * max-count / n_tokens; can exceed 1 on degenerate
+    *    docs, which is exactly the signal)
+    *
+    * Scale shape: two independent explode → per-(doc,unit) hash-agg →
+    * per-doc agg pipelines (lines and 2-grams), joined on doc_id. All
+    * shuffles carry slim (doc_id, unit-hash) or per-doc rows; map-side
+    * partial aggregation applies throughout; no window functions.
+    *
+    * @return (doc_id, n_lines, dup_line_frac, dup_line_char_frac,
+    *         top_2gram_frac) — one row per input doc. */
+  def repetitionMetrics(docs: org.apache.spark.sql.DataFrame, textCol: String,
+      idCol: String): org.apache.spark.sql.DataFrame = {
+    val lines = docs.select(col(idCol).as("doc_id"),
+        explode(split(col(textCol), "\n")).as("line"))
+    val perLine = lines.groupBy(col("doc_id"), col("line"))
+      .agg(count(lit(1)).as("cnt"))
+      .withColumn("len", length(col("line")))
+    val lineStats = perLine.groupBy(col("doc_id")).agg(
+      sum(col("cnt")).as("n_lines"),
+      ((sum(col("cnt")) - count(lit(1))).cast("double") / sum(col("cnt")))
+        .as("dup_line_frac"),
+      (sum((col("cnt") - 1) * col("len")).cast("double") /
+        greatest(sum(col("cnt") * col("len")), lit(1L))).as("dup_line_char_frac"))
+    val gramTop = Dedup.shingleTable(docs, textCol, idCol, n = 2)
+      .groupBy(col("doc_id"), col("sh")).agg(count(lit(1)).as("cnt"))
+      .groupBy(col("doc_id")).agg(max(col("cnt")).as("top2"))
+    val toks = docs.select(col(idCol).as("doc_id"),
+      tokenCount(col(textCol)).cast("long").as("n_tokens"))
+    lineStats.join(gramTop, Seq("doc_id")).join(toks, Seq("doc_id"))
+      .select(col("doc_id"), col("n_lines"),
+        col("dup_line_frac"), col("dup_line_char_frac"),
+        (col("top2") * 2.0 / greatest(col("n_tokens"), lit(1L))).as("top_2gram_frac"))
+  }
+
   /** Bulk simhash as a relational plan: token explode → codegen'd hash-agg
     * of 64 bit-votes → bit-pack. Same result as [[simhash64]] but the
     * per-token loop runs inside whole-stage codegen with map-side partial

@@ -373,6 +373,91 @@ object LlmOps {
     ORDER BY doc_id"""
   }
 
+  /** Corpus-level boilerplate-line removal (CCNet/RefinedWeb line dedup):
+    * the synthetic docs are single-line, so the entry builds a
+    * deterministic multi-line corpus — per doc: its own text, a footer
+    * shared by ALL docs (removed: doc-freq 500), a section header shared
+    * by ~1/7 of docs (removed at threshold 30), and a doc-unique line
+    * (kept). The oracle rebuilds the same corpus and pass in SQL. */
+  def qDedupLines(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.load(spark, dir, "documents")
+    val dirty = concat(col("text"),
+      lit("\nall rights reserved - corpus footer"),
+      lit("\nsection header "), (col("doc_id") % 7).cast("string"),
+      lit("\nunique line "), col("doc_id").cast("string"))
+    Dedup.removeBoilerplateLines(
+        docs.select(col("doc_id"), dirty.as("text")), "text", "doc_id",
+        minDocFreq = 30)
+      .orderBy(col("doc_id"))
+  }
+
+  val qDedupLinesSql: String = """
+    WITH dirty AS (
+      SELECT doc_id,
+             text || chr(10) || 'all rights reserved - corpus footer'
+                  || chr(10) || 'section header ' || CAST(doc_id % 7 AS VARCHAR)
+                  || chr(10) || 'unique line ' || CAST(doc_id AS VARCHAR) AS text
+      FROM documents),
+    t AS (SELECT doc_id, string_split(text, chr(10)) AS ls FROM dirty),
+    ln AS (SELECT doc_id, unnest(generate_series(1, len(ls))) AS pos, ls FROM t),
+    l AS (SELECT doc_id, pos, ls[pos] AS line FROM ln),
+    boiler AS (
+      SELECT h FROM (SELECT DISTINCT md5(line) AS h, doc_id FROM l)
+      GROUP BY h HAVING COUNT(*) >= 30),
+    kept AS (SELECT doc_id, pos, line FROM l
+             WHERE md5(line) NOT IN (SELECT h FROM boiler)),
+    agg AS (SELECT doc_id, COUNT(*) AS n_kept,
+                   string_agg(line, chr(10) ORDER BY pos) AS clean_text
+            FROM kept GROUP BY doc_id),
+    tot AS (SELECT doc_id, COUNT(*) AS n_lines FROM l GROUP BY doc_id)
+    SELECT tot.doc_id, tot.n_lines,
+           COALESCE(agg.n_kept, 0) AS n_kept,
+           COALESCE(agg.clean_text, '') AS clean_text
+    FROM tot LEFT JOIN agg USING (doc_id)
+    ORDER BY doc_id"""
+
+  /** Gopher-style repetition quality filters over a corpus with injected
+    * line repeats (doc_id % 3 extra copies of a filler line), so the
+    * duplicate-line metrics actually vary; 2-gram coverage runs over the
+    * natural text. */
+  def qRepFilters(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.load(spark, dir, "documents")
+    val dirty = concat(col("text"), lit("\nfiller line"),
+      expr("repeat(concat(chr(10), 'filler line'), CAST(doc_id % 3 AS INT))"))
+    TextAnalysis.repetitionMetrics(
+        docs.select(col("doc_id"), dirty.as("text")), "text", "doc_id")
+      .orderBy(col("doc_id"))
+  }
+
+  val qRepFiltersSql: String = """
+    WITH dirty AS (
+      SELECT doc_id,
+             text || chr(10) || 'filler line'
+                  || repeat(chr(10) || 'filler line', CAST(doc_id % 3 AS INT)) AS text
+      FROM documents),
+    ln AS (SELECT doc_id, unnest(string_split(text, chr(10))) AS line FROM dirty),
+    pl AS (SELECT doc_id, line, COUNT(*) AS cnt, length(line) AS len
+           FROM ln GROUP BY doc_id, line),
+    lstat AS (
+      SELECT doc_id, CAST(SUM(cnt) AS BIGINT) AS n_lines,
+             CAST(SUM(cnt) - COUNT(*) AS DOUBLE) / SUM(cnt) AS dup_line_frac,
+             CAST(SUM((cnt-1)*len) AS DOUBLE) / greatest(SUM(cnt*len), 1) AS dup_line_char_frac
+      FROM pl GROUP BY doc_id),
+    tk AS (SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS toks FROM dirty),
+    pos AS (SELECT doc_id, toks,
+                   unnest(generate_series(0, greatest(len(toks) - 2, 0))) AS pos
+            FROM tk),
+    g AS (SELECT doc_id, concat_ws(' ', toks[pos+1], toks[pos+2]) AS sh FROM pos),
+    gt AS (SELECT doc_id, MAX(cnt) AS top2
+           FROM (SELECT doc_id, sh, COUNT(*) AS cnt FROM g GROUP BY doc_id, sh)
+           GROUP BY doc_id),
+    ntk AS (SELECT doc_id, len(string_split_regex(trim(text), '\s+')) AS n_tokens
+            FROM dirty)
+    SELECT l.doc_id, l.n_lines, l.dup_line_frac, l.dup_line_char_frac,
+           gt.top2 * 2.0 / greatest(ntk.n_tokens, 1) AS top_2gram_frac
+    FROM lstat l JOIN gt USING (doc_id) JOIN ntk USING (doc_id)
+    ORDER BY doc_id"""
+
   /** Transitive dup clusters: connected components over the n-gram
     * jaccard pair list (min-label propagation; chains A~B~C collapse to
     * one cluster, unlike the one-hop minhashClusters view). The oracle

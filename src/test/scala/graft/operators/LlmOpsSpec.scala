@@ -473,6 +473,46 @@ class LlmOpsSpec extends SparkSpec {
     for (i <- 0 until 8) assert(fl(i) === expected(64 * (i + 1)), s"feature $i")
   }
 
+  test("boilerplate-line removal drops corpus-frequent lines, keeps order") {
+    import spark.implicits._
+    val corpus = (1 to 40).map { i =>
+      (i.toLong, s"unique opening $i\nshared footer\nbody text $i" +
+        (if (i <= 5) "\nrare notice" else ""))
+    }.toDF("doc_id", "text")
+    val out = Dedup.removeBoilerplateLines(corpus, "text", "doc_id", minDocFreq = 10)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getString(3))).toMap
+    // 'shared footer' (df=40) removed everywhere; 'rare notice' (df=5) kept
+    assert(out(1L) === ((4L, 3L, "unique opening 1\nbody text 1\nrare notice")))
+    assert(out(6L) === ((3L, 2L, "unique opening 6\nbody text 6")))
+    assert(out.size === 40)
+    // a fully-boilerplate doc keeps zero lines and empty text
+    val allBoiler = corpus.union(Seq((99L, "shared footer")).toDF("doc_id", "text"))
+    val out99 = Dedup.removeBoilerplateLines(allBoiler, "text", "doc_id", minDocFreq = 10)
+      .filter(col("doc_id") === 99L).collect()(0)
+    assert(out99.getLong(1) === 1L && out99.getLong(2) === 0L && out99.getString(3) === "")
+  }
+
+  test("repetition metrics match hand-computed values") {
+    import spark.implicits._
+    val corpus = Seq(
+      (1L, "a b\na b\nc d"),            // 3 lines, 1 dup; 2-gram 'a b' x2 of 6 toks
+      (2L, "x y z\nw v u")              // no dups; all 2-grams distinct
+    ).toDF("doc_id", "text")
+    val m = TextAnalysis.repetitionMetrics(corpus, "text", "doc_id")
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getDouble(2), r.getDouble(3), r.getDouble(4))).toMap
+    val (n1, dlf1, dlcf1, tg1) = m(1L)
+    assert(n1 === 3L)
+    assert(math.abs(dlf1 - 1.0 / 3) < 1e-12)          // 3 lines, 2 distinct
+    assert(math.abs(dlcf1 - 3.0 / 9) < 1e-12)         // one extra 'a b' (3 of 9 chars)
+    // tokens: a b a b c d = 6; 2-grams (cross-line): 'a b','b a','a b','b c','c d'
+    // top = 'a b' x2 -> 2*2/6
+    assert(math.abs(tg1 - 4.0 / 6) < 1e-12)
+    val (n2, dlf2, _, tg2) = m(2L)
+    assert(n2 === 2L && dlf2 === 0.0)
+    assert(math.abs(tg2 - 2.0 / 6) < 1e-12)           // all 2-grams unique
+  }
+
   test("ANN entries pin recall_at_k at the driver scale factors") {
     import graft.queries.LlmOps
     def meanRecall(dir: String,
