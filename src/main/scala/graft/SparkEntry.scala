@@ -75,6 +75,8 @@ object SparkEntry {
     "q_pack" -> q(LlmOps.qPack),
     "q_dedup_lines" -> q(LlmOps.qDedupLines),
     "q_rep_filters" -> q(LlmOps.qRepFilters),
+    "q_contamination" -> q(LlmOps.qContamination),
+    "q_mix_weighted" -> q(LlmOps.qMixWeighted),
     "q_join_salted" -> q(Joins.qJoinSalted),
     // §2.1 sources + sinks
     "q_json_scan" -> q(SourceSink.qJsonScan),
@@ -195,6 +197,8 @@ object SparkEntry {
     "q_dedup_minhash" -> LlmOps.qDedupMinhashSql,
     "q_dedup_lines" -> LlmOps.qDedupLinesSql,
     "q_rep_filters" -> LlmOps.qRepFiltersSql,
+    "q_contamination" -> LlmOps.qContaminationSql,
+    "q_mix_weighted" -> LlmOps.qMixWeightedSql,
     "q_text_fingerprints" -> LlmOps.qTextFingerprintsSql,
     "q_multimodal" -> LlmOps.qMultimodalSql
     // Still rows-only by design: q_agg_approx (HLL++/quantile sketches),

@@ -144,6 +144,43 @@ object TextAnalysis {
     substring(md5(text), 1, 2) < threshold
   }
 
+  /** Weighted dataset mixing (the pretraining-mix pass): each stratum
+    * (source/language/domain) is replicated toward its target weight —
+    * `floor(w)` full copies plus one fractional copy kept iff an md5 draw
+    * on the content falls under `frac(w)`. Weight 2.5 means every doc
+    * appears twice and half of them (deterministically, by content hash)
+    * a third time; weight 0.3 keeps ~30%. No RNG: reruns and other
+    * engines reproduce the exact same mixed corpus, which is what makes a
+    * training mix auditable.
+    *
+    * The fractional threshold quantizes to 16 bits (4 hex chars,
+    * `floor(frac * 65536)`), so rates are exact to ~1.5e-5 — far below
+    * corpus sampling noise.
+    *
+    * Scale: pure scan + explode, no shuffle, no driver state; the output
+    * carries `copy_id` (0 = the fractional draw, 1..floor(w) = full
+    * copies) so downstream packing can keep copies apart. Strata absent
+    * from `weights` are dropped (weight 0). */
+  def mixByWeight(docs: org.apache.spark.sql.DataFrame, textCol: String,
+      stratumCol: String, weights: Map[String, Double]): org.apache.spark.sql.DataFrame = {
+    require(weights.values.forall(w => w >= 0 && w < 100), "weights must be in [0, 100)")
+    val copies = weights.foldLeft(lit(0)) { case (acc, (k, w)) =>
+      when(col(stratumCol) === k, lit(w.toInt)).otherwise(acc)
+    }
+    val fracHex = weights.foldLeft(lit("0000")) { case (acc, (k, w)) =>
+      when(col(stratumCol) === k, lit(fracThresholdHex(w))).otherwise(acc)
+    }
+    docs
+      .withColumn("copy_id", explode(sequence(lit(0), copies)))
+      .filter(col("copy_id") >= 1 ||
+        substring(md5(concat(lit("mix|"), col(textCol))), 1, 4) < fracHex)
+  }
+
+  /** 4-hex-char acceptance threshold for the fractional part of a mix
+    * weight (shared by the Spark path and generated oracle SQL). */
+  def fracThresholdHex(weight: Double): String =
+    f"${((weight - weight.toInt) * 65536).toInt}%04x"
+
   /** Vocabulary: top-k whitespace/punctuation-split tokens by frequency
     * (tie-break on the token) — the corpus-statistics pass behind BPE
     * training and frequency filtering. Plans as explode → hash-agg with

@@ -458,6 +458,83 @@ object LlmOps {
     FROM lstat l JOIN gt USING (doc_id) JOIN ntk USING (doc_id)
     ORDER BY doc_id"""
 
+  /** Benchmark-contamination detection: the benchmark set is a
+    * deterministic ~3% md5 sample of the corpus itself (stand-in for a
+    * held-out eval set), n=5 word grams (the synthetic docs are short;
+    * real decontamination uses 13). Benchmark docs report full overlap
+    * with themselves; genuine cross-doc phrase overlap also surfaces. */
+  def qContamination(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.load(spark, dir, "documents")
+    val bench = docs.filter(substring(md5(col("text")), 1, 2) < "08")
+    Dedup.ngramContamination(docs, bench, "text", "doc_id", n = 5)
+      .orderBy(col("doc_id"))
+  }
+
+  val qContaminationSql: String = """
+    WITH t AS (
+      SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS toks
+      FROM documents),
+    p AS (
+      SELECT doc_id, toks,
+             unnest(generate_series(0, greatest(len(toks) - 5, 0))) AS pos
+      FROM t),
+    sh AS (
+      SELECT DISTINCT doc_id,
+             md5(concat_ws(' ', toks[pos+1], toks[pos+2], toks[pos+3],
+                                toks[pos+4], toks[pos+5])) AS h
+      FROM p),
+    bench AS (
+      SELECT DISTINCT h
+      FROM sh JOIN documents USING (doc_id)
+      WHERE substr(md5(text), 1, 2) < '08'),
+    perdoc AS (SELECT doc_id, COUNT(*) AS n_grams FROM sh GROUP BY doc_id),
+    hits AS (
+      SELECT doc_id, COUNT(*) AS n_contaminated
+      FROM sh WHERE h IN (SELECT h FROM bench)
+      GROUP BY doc_id)
+    SELECT p.doc_id, p.n_grams, h.n_contaminated,
+           CAST(h.n_contaminated AS DOUBLE) / p.n_grams AS contamination_frac
+    FROM perdoc p JOIN hits h USING (doc_id)
+    ORDER BY doc_id"""
+
+  /** Weighted pretraining mix: en downsampled to 0.5, de upsampled to
+    * 2.0 (two full copies), fr 1.25, es 1.0, zh 0.75. The md5 fractional
+    * draw makes the mix reproducible anywhere — the oracle rebuilds the
+    * identical mixed corpus and aggregates it. */
+  private val mixWeights: Map[String, Double] =
+    Map("en" -> 0.5, "de" -> 2.0, "fr" -> 1.25, "es" -> 1.0, "zh" -> 0.75)
+
+  def qMixWeighted(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.load(spark, dir, "documents")
+    TextAnalysis.mixByWeight(docs, "text", "lang", mixWeights)
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_rows"), sum(col("doc_id")).as("id_checksum"))
+      .orderBy(col("lang"))
+  }
+
+  val qMixWeightedSql: String = {
+    val copiesCase = mixWeights.toSeq.sortBy(_._1)
+      .map { case (k, w) => s"WHEN '$k' THEN ${w.toInt}" }.mkString(" ")
+    val fhexCase = mixWeights.toSeq.sortBy(_._1)
+      .map { case (k, w) => s"WHEN '$k' THEN '${TextAnalysis.fracThresholdHex(w)}'" }
+      .mkString(" ")
+    s"""
+    WITH w AS (
+      SELECT doc_id, lang, text,
+             CASE lang $copiesCase ELSE 0 END AS copies,
+             CASE lang $fhexCase ELSE '0000' END AS fhex
+      FROM documents),
+    e AS (
+      SELECT doc_id, lang, text, fhex,
+             unnest(generate_series(0, copies)) AS copy_id
+      FROM w),
+    kept AS (
+      SELECT * FROM e
+      WHERE copy_id >= 1 OR substr(md5('mix|' || text), 1, 4) < fhex)
+    SELECT lang, COUNT(*) AS n_rows, CAST(SUM(doc_id) AS BIGINT) AS id_checksum
+    FROM kept GROUP BY lang ORDER BY lang"""
+  }
+
   /** Transitive dup clusters: connected components over the n-gram
     * jaccard pair list (min-label propagation; chains A~B~C collapse to
     * one cluster, unlike the one-hop minhashClusters view). The oracle

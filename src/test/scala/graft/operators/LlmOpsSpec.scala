@@ -513,6 +513,43 @@ class LlmOpsSpec extends SparkSpec {
     assert(math.abs(tg2 - 2.0 / 6) < 1e-12)           // all 2-grams unique
   }
 
+  test("ngram contamination flags benchmark overlap, skips clean docs") {
+    import spark.implicits._
+    val corpus = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta"),       // shares 3-grams with bench
+      (2L, "totally unrelated words here now friends"),  // clean
+      (3L, "alpha beta gamma delta nothing else")        // partial overlap
+    ).toDF("doc_id", "text")
+    val bench = Seq((100L, "alpha beta gamma delta epsilon zeta")).toDF("doc_id", "text")
+    val out = Dedup.ngramContamination(corpus, bench, "text", "doc_id", n = 3)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getDouble(3))).toMap
+    assert(out(1L) === ((4L, 4L, 1.0)))        // all 4 trigram positions overlap
+    assert(!out.contains(2L))                  // clean doc not reported
+    val (g3, c3, f3) = out(3L)
+    assert(g3 === 4L && c3 === 2L && math.abs(f3 - 0.5) < 1e-12)
+  }
+
+  test("weighted mix replicates strata toward their weights, deterministically") {
+    import spark.implicits._
+    val corpus = (1 to 1000).map(i =>
+      (i.toLong, s"doc body $i", if (i % 2 == 0) "up" else "down")).toDF("doc_id", "text", "lang")
+    val mixed = TextAnalysis.mixByWeight(corpus, "text", "lang",
+      Map("up" -> 2.5, "down" -> 0.3))
+    val counts = mixed.groupBy("lang").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    // up: 500 docs x (2 full + ~50% fractional) -> ~1250; down: ~150
+    assert(counts("up") >= 1100 && counts("up") <= 1400, s"up=${counts("up")}")
+    assert(counts("down") >= 100 && counts("down") <= 200, s"down=${counts("down")}")
+    // deterministic rerun
+    val again = TextAnalysis.mixByWeight(corpus, "text", "lang",
+      Map("up" -> 2.5, "down" -> 0.3)).groupBy("lang").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(again === counts)
+    // full copies present for every 'up' doc; unmapped strata would drop
+    val upCopies = mixed.filter(col("lang") === "up").groupBy("doc_id").count()
+    assert(upCopies.agg(min(col("count"))).collect()(0).getLong(0) >= 2L)
+  }
+
   test("ANN entries pin recall_at_k at the driver scale factors") {
     import graft.queries.LlmOps
     def meanRecall(dir: String,
