@@ -144,6 +144,23 @@ object TextAnalysis {
     substring(md5(text), 1, 2) < threshold
   }
 
+  /** Per-stratum quantile filtering (the corpus quality-cutoff pass:
+    * "keep documents above the per-language median quality"). Cutoffs are
+    * EXACT percentiles (Spark `percentile`, linear interpolation — the
+    * same definition as SQL percentile_cont), computed per stratum and
+    * joined back as a broadcast: the big side streams through a scan +
+    * broadcast-hash-join + filter, and only the tiny per-stratum
+    * aggregate shuffles. Strict `>` keeps the above-cutoff rows. */
+  def keepAboveQuantile(df: org.apache.spark.sql.DataFrame, valueCol: String,
+      stratumCol: String, q: Double): org.apache.spark.sql.DataFrame = {
+    require(q > 0 && q < 1, s"quantile must be in (0,1), got $q")
+    val cutoffs = df.groupBy(col(stratumCol))
+      .agg(expr(s"percentile($valueCol, $q)").as("__cutoff"))
+    df.join(broadcast(cutoffs), Seq(stratumCol))
+      .filter(col(valueCol) > col("__cutoff"))
+      .drop("__cutoff")
+  }
+
   /** Weighted dataset mixing (the pretraining-mix pass): each stratum
     * (source/language/domain) is replicated toward its target weight —
     * `floor(w)` full copies plus one fractional copy kept iff an md5 draw

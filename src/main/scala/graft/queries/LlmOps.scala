@@ -42,7 +42,11 @@ object LlmOps {
     * over the 128-bit hash values, which is what makes the signature
     * portable. */
   val qDedupMinhashSql: String = {
-    val sigs = (0 until 16).map(i => s"min(md5('mh$i|' || sh)) AS mh$i")
+    // 4 seeded outer md5s over the per-shingle digest, each sliced into
+    // four 8-hex permutation values — mirrors minhashPairsPortable's
+    // budgeted hash family exactly.
+    val sigs = (0 until 16).map(i =>
+      s"min(substr(md5('mh${i / 4}|' || md5(sh)), ${1 + 8 * (i % 4)}, 8)) AS mh$i")
       .mkString(",\n             ")
     val bandList = (0 until 4).map { b =>
       val cols = (4 * b until 4 * b + 4).map(r => s"mh$r").mkString(" || '|' || ")
@@ -534,6 +538,38 @@ object LlmOps {
     SELECT lang, COUNT(*) AS n_rows, CAST(SUM(doc_id) AS BIGINT) AS id_checksum
     FROM kept GROUP BY lang ORDER BY lang"""
   }
+
+  /** Per-language median quality cutoff (quantile filtering): keep docs
+    * whose stopword ratio beats their language's exact median. The ratio
+    * is a single integer division (IEEE-identical across engines) and
+    * Spark's `percentile` matches percentile_cont's interpolation, so the
+    * kept set — and therefore the aggregate — hash-matches. */
+  def qQualityFilter(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.load(spark, dir, "documents")
+    val scored = docs.select(col("doc_id"), col("lang"),
+      TextAnalysis.stopwordRatio(col("text")).as("stop_ratio"))
+    TextAnalysis.keepAboveQuantile(scored, "stop_ratio", "lang", 0.5)
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_kept"), min(col("stop_ratio")).as("min_kept"),
+        sum(col("doc_id")).as("id_checksum"))
+      .orderBy(col("lang"))
+  }
+
+  val qQualityFilterSql: String = """
+    WITH s AS (
+      SELECT doc_id, lang,
+             CAST(len(list_filter(string_split_regex(lower(trim(text)), '\s+'),
+                    t -> t IN ('the','a','of','and','to','in','is','it','that','for'))) AS DOUBLE)
+               / greatest(len(string_split_regex(trim(text), '\s+')), 1) AS stop_ratio
+      FROM documents),
+    c AS (
+      SELECT lang, percentile_cont(0.5) WITHIN GROUP (ORDER BY stop_ratio) AS cutoff
+      FROM s GROUP BY lang)
+    SELECT s.lang, COUNT(*) AS n_kept, MIN(stop_ratio) AS min_kept,
+           CAST(SUM(doc_id) AS BIGINT) AS id_checksum
+    FROM s JOIN c USING (lang)
+    WHERE s.stop_ratio > c.cutoff
+    GROUP BY s.lang ORDER BY s.lang"""
 
   /** Transitive dup clusters: connected components over the n-gram
     * jaccard pair list (min-label propagation; chains A~B~C collapse to

@@ -550,6 +550,17 @@ class LlmOpsSpec extends SparkSpec {
     assert(upCopies.agg(min(col("count"))).collect()(0).getLong(0) >= 2L)
   }
 
+  test("quantile filter keeps strictly-above-cutoff rows per stratum") {
+    import spark.implicits._
+    val rows = Seq(
+      ("a", 1L, 0.1), ("a", 2L, 0.2), ("a", 3L, 0.3), ("a", 4L, 0.4), // median 0.25
+      ("b", 5L, 1.0), ("b", 6L, 2.0), ("b", 7L, 3.0)                  // median 2.0
+    ).toDF("lang", "doc_id", "v")
+    val kept = TextAnalysis.keepAboveQuantile(rows, "v", "lang", 0.5)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(kept === Set(3L, 4L, 7L)) // strict >: 2.0 itself is dropped
+  }
+
   test("ANN entries pin recall_at_k at the driver scale factors") {
     import graft.queries.LlmOps
     def meanRecall(dir: String,
