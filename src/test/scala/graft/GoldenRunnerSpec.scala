@@ -50,4 +50,8 @@ class GoldenRunnerSpec extends SparkSpec {
   test("expr golden corpus (reference expr-test.cc shapes) matches") {
     runCorpus("/golden/expr.test")
   }
+
+  test("subquery golden corpus (reference subquery.test shapes) matches") {
+    runCorpus("/golden/subquery.test")
+  }
 }
