@@ -129,7 +129,28 @@ object ImpalaFunctions {
 
     // ---- codegen'd vector kernels (similarity-search hot path) ----
     "dot_product" -> { case Seq(a, b) => DotProduct(a, b) },
-    "cosine_similarity" -> { case Seq(a, b) => CosineSimilarity(a, b) }
+    "cosine_similarity" -> { case Seq(a, b) => CosineSimilarity(a, b) },
+
+    // ---- variance aliases (BuiltinsDb.java registers variance_pop/
+    // variance_samp alongside var_pop/var_samp; Spark only ships the
+    // short forms) ----
+    "variance_pop" -> { case Seq(e) => VariancePop(e) },
+    "variance_samp" -> { case Seq(e) => VarianceSamp(e) },
+
+    // ---- type-limit constants (math-functions.cc MathFunctions::MaxInt
+    // etc.; impala_functions.py max_/min_ families) ----
+    "max_tinyint" -> { case Seq() => Literal(Byte.MaxValue) },
+    "min_tinyint" -> { case Seq() => Literal(Byte.MinValue) },
+    "max_smallint" -> { case Seq() => Literal(Short.MaxValue) },
+    "min_smallint" -> { case Seq() => Literal(Short.MinValue) },
+    "max_int" -> { case Seq() => Literal(Int.MaxValue) },
+    "min_int" -> { case Seq() => Literal(Int.MinValue) },
+    "max_bigint" -> { case Seq() => Literal(Long.MaxValue) },
+    "min_bigint" -> { case Seq() => Literal(Long.MinValue) },
+
+    // ---- decimal introspection (decimal-functions.cc Precision/Scale) ----
+    "precision" -> { case Seq(e) => DecimalTypeInfo(e, ofScale = false) },
+    "scale" -> { case Seq(e) => DecimalTypeInfo(e, ofScale = true) }
   )
 
   private def tsAdd(unit: String): Builder = { case Seq(t, n) => TimestampAdd(unit, n, t) }
@@ -150,6 +171,10 @@ object ImpalaFunctions {
     builders.foreach { case (name, builder) =>
       registry.createOrReplaceTempFunction(name, builder, "scala_udf")
     }
+    // sleep(ms) (utility-functions.cc) is the reference's test-pacing
+    // helper; a boxed UDF is fine for a function whose entire purpose is
+    // to be slow.
+    spark.udf.register("sleep", (ms: Int) => { Thread.sleep(ms.toLong); true })
   }
 
   /** Names this layer adds (for tests / SHOW FUNCTIONS-style surface). */

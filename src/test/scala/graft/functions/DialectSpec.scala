@@ -198,6 +198,68 @@ class DialectSpec extends SparkSpec {
     assert(plan2.contains("ShuffledHashJoin"), plan2)
   }
 
+  test("every reference builtin name resolves in the engine session") {
+    // The complete name surface from the reference's function registry
+    // (common/function-registry/impala_functions.py) plus its aggregate/
+    // analytic catalog (fe/.../catalog/BuiltinsDb.java) — each must
+    // resolve here, either as a Spark builtin of the same name or via
+    // ImpalaFunctions' dialect builders.
+    val referenceBuiltins = Seq(
+      "abs", "acos", "appx_median", "ascii", "asin", "atan", "avg", "bin",
+      "ceil", "char_length", "character_length", "coalesce", "concat",
+      "concat_ws", "conv", "cos", "count", "current_database", "date_part",
+      "datediff", "day", "dayname", "dayofweek", "dayofyear", "days_add",
+      "days_sub", "degrees", "dense_rank", "distinctpc", "distinctpcsa", "e",
+      "exp", "extract", "find_in_set", "first_value", "first_value_rewrite",
+      "floor", "fmod", "fnv_hash", "from_unixtime", "from_utc_timestamp",
+      "greatest", "group_concat", "hex", "histogram", "hour", "hours_add",
+      "hours_sub", "if", "initcap", "instr", "is_inf", "is_nan", "isfalse",
+      "isnotfalse", "isnottrue", "isnull", "istrue", "lag", "last_value",
+      "lead", "least", "length", "ln", "locate", "log", "log10", "log2",
+      "lower", "lpad", "ltrim", "madlib_decode_vector",
+      "madlib_encode_vector", "madlib_print_vector", "madlib_vector",
+      "madlib_vector_get", "max", "max_bigint", "max_int", "max_smallint",
+      "max_tinyint", "microseconds_add", "microseconds_sub",
+      "milliseconds_add", "milliseconds_sub", "min", "min_bigint", "min_int",
+      "min_smallint", "min_tinyint", "minute", "minutes_add", "minutes_sub",
+      "mod", "month", "months_add", "months_sub", "nanoseconds_add",
+      "nanoseconds_sub", "ndv", "ndv_no_finalize", "negative",
+      "nonnullvalue", "now", "nullif", "nullifzero", "nullvalue",
+      "parse_url", "pi", "pid", "pmod", "positive", "pow", "precision",
+      "quotient", "radians", "rand", "rank", "regexp_extract",
+      "regexp_replace", "repeat", "reverse", "round", "row_number", "rpad",
+      "rtrim", "sample", "scale", "second", "seconds_add", "seconds_sub",
+      "sign", "sin", "sleep", "space", "sqrt", "stddev", "stddev_pop",
+      "stddev_samp", "strleft", "strright", "substr", "sum", "tan",
+      "to_date", "to_utc_timestamp", "translate", "trim", "trunc",
+      "truncate", "udf_abs", "udf_lower", "udf_pi", "unhex",
+      "unix_timestamp", "upper", "user", "var_pop", "var_samp", "variance",
+      "variance_pop", "variance_samp", "version", "weekofyear", "weeks_add",
+      "weeks_sub", "year", "years_add", "years_sub", "zeroifnull")
+    // Internal-only registry rows, not user-callable in the reference:
+    // generator sample UDFs and aggregate rewrite helpers.
+    val internalOnly = Set("udf_abs", "udf_lower", "udf_pi",
+      "ndv_no_finalize", "first_value_rewrite")
+    val missing = referenceBuiltins.filterNot(internalOnly)
+      .filterNot(n => spark.catalog.functionExists(n))
+    assert(missing.isEmpty, s"unresolved reference builtins: $missing")
+  }
+
+  test("type-limit constants and decimal precision/scale introspection") {
+    assert(sql1("max_tinyint()") === Byte.MaxValue)
+    assert(sql1("min_smallint()") === Short.MinValue)
+    assert(sql1("max_int()") === Int.MaxValue)
+    assert(sql1("min_bigint()") === Long.MinValue)
+    assert(sql1("precision(CAST(1.25 AS DECIMAL(12,3)))") === 12)
+    assert(sql1("scale(CAST(1.25 AS DECIMAL(12,3)))") === 3)
+    // type introspection, not value introspection: NULL still has a type
+    assert(sql1("precision(CAST(NULL AS DECIMAL(9,4)))") === 9)
+    // codegen path over a column
+    val n = spark.sql(
+      "SELECT scale(CAST(x AS DECIMAL(18,2))) AS s FROM VALUES (1.5), (2.5) AS t(x)")
+    assert(n.collect().forall(_.getInt(0) == 2))
+  }
+
   test("builtin distributed stddev/variance agree with single-node formula") {
     import spark.implicits._
     val xs = (1 to 10000).map(_.toDouble)
