@@ -571,6 +571,37 @@ object LlmOps {
     WHERE s.stop_ratio > c.cutoff
     GROUP BY s.lang ORDER BY s.lang"""
 
+  /** Leakage-safe split over the portable minhash clusters: split
+    * membership hashes the cluster REPRESENTATIVE, so near-dups stay on
+    * one side of the train/val boundary. The oracle re-derives the whole
+    * chain (clusters + split assignment) in SQL. */
+  def qSplitLeakageSafe(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.load(spark, dir, "documents")
+    val clusters = Dedup.minhashClustersPortable(docs, "text", "doc_id")
+    Dedup.splitByCluster(clusters)
+      .groupBy(col("split"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("doc_id")).as("id_checksum"),
+        countDistinct(col("rep_id")).as("n_clusters"))
+      .orderBy(col("split"))
+  }
+
+  /** Shares the cluster CTEs with [[qDedupMinhashSql]]; only the final
+    * select differs (split assignment + per-split aggregate). */
+  val qSplitLeakageSafeSql: String = {
+    val base = qDedupMinhashSql
+    // swap the final SELECT ... ORDER BY for the split aggregate
+    val cut = base.lastIndexOf("SELECT d.doc_id")
+    base.substring(0, cut) + """SELECT
+           CASE WHEN substr(md5('split|' || CAST(COALESCE(r.rep_id, d.doc_id) AS VARCHAR)), 1, 2) < 'cc'
+                THEN 'train' ELSE 'val' END AS split,
+           COUNT(*) AS n_docs,
+           CAST(SUM(d.doc_id) AS BIGINT) AS id_checksum,
+           COUNT(DISTINCT COALESCE(r.rep_id, d.doc_id)) AS n_clusters
+    FROM documents d LEFT JOIN rep r USING (doc_id)
+    GROUP BY 1 ORDER BY split"""
+  }
+
   /** Transitive dup clusters: connected components over the n-gram
     * jaccard pair list (min-label propagation; chains A~B~C collapse to
     * one cluster, unlike the one-hop minhashClusters view). The oracle

@@ -561,6 +561,19 @@ class LlmOpsSpec extends SparkSpec {
     assert(kept === Set(3L, 4L, 7L)) // strict >: 2.0 itself is dropped
   }
 
+  test("leakage-safe split keeps whole dup clusters on one side") {
+    val clusters = Dedup.minhashClustersPortable(docs, "text", "doc_id", threshold = 0.5)
+    val split = Dedup.splitByCluster(clusters)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getString(3))).toMap
+    // 1, 2, 4 are one near-dup cluster (rep 1): identical split membership
+    assert(split(1L)._2 === split(2L)._2 && split(1L)._2 === split(4L)._2)
+    assert(Set("train", "val").contains(split(3L)._2))
+    // deterministic re-run
+    val again = Dedup.splitByCluster(clusters)
+      .collect().map(r => r.getLong(0) -> r.getString(3)).toMap
+    assert(again === split.view.mapValues(_._2).toMap)
+  }
+
   test("ANN entries pin recall_at_k at the driver scale factors") {
     import graft.queries.LlmOps
     def meanRecall(dir: String,
