@@ -54,4 +54,8 @@ class GoldenRunnerSpec extends SparkSpec {
   test("subquery golden corpus (reference subquery.test shapes) matches") {
     runCorpus("/golden/subquery.test")
   }
+
+  test("inline-view LIMIT corpus (reference inline-view-limit.test shapes) matches") {
+    runCorpus("/golden/inline_view_limit.test")
+  }
 }
