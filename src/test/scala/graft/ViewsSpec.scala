@@ -11,6 +11,20 @@ class ViewsSpec extends SparkSpec {
 
   private def setupBase(): Unit = {
     spark.sql("DROP TABLE IF EXISTS vw_base")
+    // An earlier JVM's run leaves the managed dir under spark-warehouse
+    // while this session's in-memory catalog has never heard of the
+    // table — CREATE would then fail on "location already exists".
+    val whUri = new java.net.URI(spark.conf.get("spark.sql.warehouse.dir"))
+    val whPath = Option(whUri.getPath).filter(_.nonEmpty).getOrElse(whUri.toString)
+    def rm(p: java.nio.file.Path): Unit = {
+      if (java.nio.file.Files.isDirectory(p)) {
+        val s = java.nio.file.Files.list(p)
+        try s.forEach(c => rm(c)) finally s.close()
+      }
+      java.nio.file.Files.deleteIfExists(p)
+    }
+    val dir = java.nio.file.Paths.get(whPath, "vw_base")
+    if (java.nio.file.Files.exists(dir)) rm(dir)
     spark.sql("CREATE TABLE vw_base (k INT, grp STRING, x INT) USING parquet")
     spark.sql("""INSERT INTO vw_base VALUES
       (1, 'a', 10), (2, 'a', 20), (3, 'b', 30), (4, 'b', 40), (5, 'c', 50)""")
