@@ -40,7 +40,7 @@ object Dialect {
       if (c == '\'') lit = !lit
       else if (!lit && c == '(') d += 1
       else if (!lit && c == ')') d -= 1
-      depth(i + 1) = d; depth(0) = 0
+      depth(i + 1) = d
     }
     val matches = bracketHint.findAllMatchIn(sql).toList.filterNot(m => inLit(m.start))
     if (matches.isEmpty) return sql
