@@ -244,11 +244,19 @@ class LlmOpsSpec extends SparkSpec {
     val labels = Dedup.connectedComponents(chain, chainPairs)
       .collect().map(r => (r.getLong(0), r.getLong(1)))
     assert(labels.forall(_._2 == 1L))
-    // a diameter beyond maxIter must fail loud, not return split clusters
+    // a diameter beyond the propagation reach must fail loud, not
+    // return split clusters (12-chain can't be OBSERVED converged in 3)
     val e = intercept[IllegalStateException] {
       Dedup.connectedComponents(chain, chainPairs, maxIter = 3)
     }
     assert(e.getMessage.contains("did not converge"))
+    // pointer jumping: a 64-node chain (diameter 63) converges in
+    // O(log n) rounds — a plain one-hop propagation would need 63
+    val longChain = (1L to 64L).toDF("id")
+    val longPairs = (1L until 64L).map(i => (i, i + 1)).toDF("id_a", "id_b")
+    val longLabels = Dedup.connectedComponents(longChain, longPairs, maxIter = 10)
+      .collect().map(_.getLong(1))
+    assert(longLabels.forall(_ == 1L))
   }
 
   test("chunking covers every token, respects overlap, and handles short docs") {
