@@ -197,23 +197,26 @@ object FunctionCorpus {
   // Decimal INPUTS are derived from exact integer cents (round(x*100) ->
   // BIGINT -> DECIMAL / 100) rather than narrowing double->decimal casts.
   //
-  // ROUND-6 ROOT-CAUSE of the long-red driver hash: with the r5 body, a
-  // zero-normalization cell diff (tools/celldiff.py) of the Verify output
-  // vs the DuckDB oracle at sf0.01 shows 0 differing cells over 1540 rows
-  // and identical arrow schemas (decimal128 p,s equal per column) — the
-  // VALUES have been right since r4. The remaining divergence had to live
-  // in the driver's hash encoding of decimal-typed OUTPUT columns (e.g.
-  // newer DuckDB emits arrow decimal64 for p<=18 where a Spark parquet
-  // file reads back as decimal128; pandas renders Decimal vs float64
-  // differently) — this entry was the ONLY one in the whole catalog with
-  // decimal-typed output columns, and the only hash-red, every round.
-  // Fix: keep every operator computed in decimal space with its result
-  // type pinned by the inner CAST (that is the component under test —
-  // FunctionCorpusSpec asserts the pre-string DecimalType(p,s) of each
-  // operator), then render each output through CAST(... AS STRING) on
-  // both sides: a pinned-scale decimal has one canonical decimal string
-  // ("123.45", trailing zeros kept) in both engines, taking the driver's
-  // decimal column encoding out of the hashed surface entirely.
+  // DRIVER-RED HISTORY (honest record): this entry was hash-red in the
+  // driver's CORRECTNESS_r03/r04/r05 runs despite rows+schema matching
+  // and despite tools/check.py + tools/celldiff.py (duckdb 1.0.0 in this
+  // container) showing 0 differing cells and a local PASS for both the
+  // r5 decimal-output body and the string-rendered body. The r5 comment
+  // claimed the string rendering fixed it; the r5 driver run proved it
+  // did not. Since every surface observable here matches, the residual
+  // divergence must sit in behavior the local toolchain cannot
+  // reproduce — most plausibly the driver's (different) DuckDB version
+  // computing decimal DIVISION (`CAST(cents AS DECIMAL)/100`), decimal
+  // casts, or decimal→VARCHAR rendering differently than duckdb 1.0.0.
+  // ROUND-6 FIX: remove ALL decimal behavior from the ORACLE side. The
+  // oracle (qFnDecimalSql below) now derives every expected string from
+  // pure BIGINT cent arithmetic plus lpad() rendering — integer + - * %
+  // and string concat are bit-identical in every DuckDB release, so the
+  // oracle is version-proof. The SPARK side is unchanged and remains the
+  // component under test: decimal ops with CAST-pinned result types
+  // (DecimalArithmeticSpec asserts each operator's DecimalType(p,s)),
+  // rendered via CAST(... AS STRING) which for a pinned-scale decimal is
+  // the canonical plain form ("123.45", trailing zeros kept).
   private val decimalSrc: String = """
       (SELECT l_orderkey, l_linenumber,
               CAST(CAST(CAST(round(l_extendedprice * 100) AS BIGINT) AS DECIMAL(14,2)) / 100 AS DECIMAL(12,2)) AS d_price,
@@ -239,7 +242,41 @@ object FunctionCorpus {
   def qFnDecimal(spark: SparkSession, dir: String): DataFrame =
     run(spark, dir, qFnDecimalBody("STRING"))
 
-  val qFnDecimalSql: String = qFnDecimalBody("VARCHAR")
+  /** Oracle for q_fn_decimal in pure BIGINT cents + string rendering — no
+    * decimal types anywhere, so no DuckDB-version-dependent decimal
+    * division/cast/render behavior can perturb the driver hash. Each
+    * rendered string must equal Spark's CAST(DECIMAL(p,s) AS STRING) of
+    * the corresponding decimal op. All operands are strictly positive in
+    * TPC-H lineitem, so integer `//` and `%` carry no sign subtleties
+    * (dneg is rendered with an explicit leading '-').
+    */
+  val qFnDecimalSql: String = {
+    // value*10^s held as BIGINT `v` → canonical scale-s decimal string
+    def dec(v: String, s: Int): String = {
+      val pow = math.pow(10, s).toLong
+      s"(CAST(($v) // $pow AS VARCHAR) || '.' || lpad(CAST(($v) % $pow AS VARCHAR), $s, '0'))"
+    }
+    s"""
+      WITH c AS (
+        SELECT l_orderkey, l_linenumber,
+               CAST(round(l_extendedprice * 100) AS BIGINT) AS pc,
+               CAST(round(l_tax * 100)           AS BIGINT) AS tc,
+               CAST(round(l_discount * 100)      AS BIGINT) AS dc,
+               CAST(round(l_quantity * 100)      AS BIGINT) AS qc,
+               CAST(round(l_quantity * 1000)     AS BIGINT) AS qm
+        FROM lineitem
+        WHERE l_orderkey <= 400)
+      SELECT l_orderkey, l_linenumber,
+             ${dec("pc + tc", 2)}          AS dadd,
+             ${dec("pc - dc", 2)}          AS dsub,
+             ${dec("qc * dc", 4)}          AS dmul,
+             ${dec("pc % 700", 2)}         AS dmod,
+             ${dec("pc", 2)}               AS dstr,
+             ${dec("qm * 100", 5)}         AS dwiden,
+             ('-' || ${dec("pc", 2)})      AS dneg
+      FROM c
+      ORDER BY l_orderkey, l_linenumber"""
+  }
 
   // ------------------------------------------------------------- timestamp
   def qFnDate(spark: SparkSession, dir: String): DataFrame =
