@@ -173,11 +173,54 @@ object Aggregates {
     * aggregate-functions.h:143-167). */
   def qAggApprox(spark: SparkSession, dir: String): DataFrame = {
     val li = Tables.load(spark, dir, "lineitem")
-    li.groupBy(col("l_returnflag"))
+    // Sketch outputs (HLL++ ndv, appx median) are deterministic but not
+    // DuckDB-derivable, so the entry emits the EXACT ndv aggregates
+    // (oracle-checkable) plus band flags computed in-engine: each HLL++
+    // value must land within ±10% of the exact ndv (default rsd 0.05),
+    // and the appx median is validated by its RANK — the fraction of
+    // rows <= it must sit in [0.45, 0.55] (accuracy 10000 → rank error
+    // 1e-4). The rank check is a second codegen'd hash-agg pass over a
+    // broadcast 3-row sketch join — deliberately NOT an exact
+    // percentile(), which buffers every value per group in an
+    // ObjectHashAggregate and would be the scale killer at 100 TB.
+    // The oracle recomputes the exact columns and pins the flags TRUE,
+    // so a sketch regression turns the driver gate red instead of
+    // hiding behind a rows-only check.
+    val rf = col("l_returnflag")
+    val sketch = li.groupBy(rf)
       .agg(
-        approx_count_distinct(col("l_partkey")).as("ndv_part"),
-        approx_count_distinct(col("l_orderkey")).as("ndv_order"),
-        percentile_approx(col("l_extendedprice"), lit(0.5), lit(10000)).as("appx_median_price"))
-      .orderBy(col("l_returnflag"))
+        approx_count_distinct(col("l_partkey")).as("ap"),
+        approx_count_distinct(col("l_orderkey")).as("ao"),
+        percentile_approx(col("l_extendedprice"), lit(0.5), lit(10000)).as("am"))
+    val exact = li.groupBy(rf)
+      .agg(
+        countDistinct(col("l_partkey")).as("ndv_part_exact"),
+        countDistinct(col("l_orderkey")).as("ndv_order_exact"))
+    val amRank = li
+      .join(broadcast(sketch.select(rf, col("am"))), Seq("l_returnflag"))
+      .groupBy(rf)
+      .agg(avg((col("l_extendedprice") <= col("am")).cast("double")).as("am_rank"))
+    exact
+      .join(sketch, Seq("l_returnflag"))
+      .join(amRank, Seq("l_returnflag"))
+      .select(
+        rf, col("ndv_part_exact"), col("ndv_order_exact"),
+        (col("ap").cast("double") >= col("ndv_part_exact") * 0.9 &&
+         col("ap").cast("double") <= col("ndv_part_exact") * 1.1).as("ndv_part_ok"),
+        (col("ao").cast("double") >= col("ndv_order_exact") * 0.9 &&
+         col("ao").cast("double") <= col("ndv_order_exact") * 1.1).as("ndv_order_ok"),
+        (col("am_rank") >= 0.45 && col("am_rank") <= 0.55).as("median_ok"))
+      .orderBy(rf)
   }
+
+  val qAggApproxSql: String = """
+    SELECT l_returnflag,
+           COUNT(DISTINCT l_partkey)  AS ndv_part_exact,
+           COUNT(DISTINCT l_orderkey) AS ndv_order_exact,
+           TRUE AS ndv_part_ok,
+           TRUE AS ndv_order_ok,
+           TRUE AS median_ok
+    FROM lineitem
+    GROUP BY l_returnflag
+    ORDER BY l_returnflag"""
 }

@@ -265,33 +265,91 @@ object LlmOps {
       .drop("hit")
   }
 
-  /** LSH-bucketed top-3 (the 100 TB candidate-generation path): rows-only
-    * oracle — buckets derive from fnv-seeded hyperplanes DuckDB can't
-    * reproduce in SQL — but every row carries `recall_at_k` vs the exact
-    * top-3 computed in-engine, and LlmOpsSpec pins those values. */
-  def qSimSearchLsh(spark: SparkSession, dir: String): DataFrame = {
+  /** Per-query recall of an ANN variant vs the in-engine exact top-3 —
+    * the tight regression net: LlmOpsSpec pins the exact per-SF recall
+    * numerators these produce. `which` is "lsh" or "ivf". */
+  def annRecallByQuery(spark: SparkSession, dir: String, which: String,
+      k: Int = 3): DataFrame = {
     val emb = Tables.load(spark, dir, "embeddings")
     val queries = emb.filter(col("vec_id") < 10)
     val corpus = emb.filter(col("vec_id") >= 10)
-    withRecall(
-        Similarity.lshTopK(queries, corpus, "vec_id", "embedding", k = 3),
-        Similarity.bruteForceTopK(queries, corpus, "vec_id", "embedding", k = 3), k = 3)
-      .orderBy(col("query_id"), col("rnk"))
+    val ann = annTopK(queries, corpus, which, k)
+    withRecall(ann,
+        Similarity.bruteForceTopK(queries, corpus, "vec_id", "embedding", k),
+        k)
+      .select(col("query_id"), col("recall_at_k")).distinct()
   }
 
-  /** IVF-bucketed top-3 (data-adaptive centroids vs the LSH variant's
-    * oblivious hyperplanes): rows-only oracle — k-means buckets aren't
-    * reproducible in DuckDB SQL — with the same in-engine `recall_at_k`
-    * annotation as [[qSimSearchLsh]]. */
-  def qSimSearchIvf(spark: SparkSession, dir: String): DataFrame = {
+  private def annTopK(queries: DataFrame, corpus: DataFrame, which: String,
+      k: Int): DataFrame = which match {
+    case "lsh" => Similarity.lshTopK(queries, corpus, "vec_id", "embedding", k)
+    case "ivf" => Similarity.ivfTopK(queries, corpus, "vec_id", "embedding", k,
+      nProbe = 4)
+    case other => throw new IllegalArgumentException(s"unknown ANN variant $other")
+  }
+
+  /** Driver entry shape shared by the LSH and IVF variants: the EXACT
+    * top-3 rows (bit-exact vs DuckDB, like [[qSimSearch]]) plus a
+    * `recall_ok` flag asserting the ANN run's aggregate recall clears
+    * `threshold`. Every column is oracle-checkable — DuckDB recomputes
+    * the exact rows and expects TRUE — so an ANN bucketing/re-rank/
+    * candidate regression flips the flag and turns the driver gate red.
+    * The thresholds sit under the spec-pinned per-SF measurements
+    * (LSH 18/30 @sf0.001, 14/30 @sf0.01; IVF 22/30, 19/30) so the flag
+    * is deterministically TRUE on healthy code at either gate scale.
+    * The recall scalar is computed declaratively (semi-join count over
+    * exact count, both 1-row aggregates cross-joined back) — no driver-
+    * side action, and the 1-row side broadcasts. */
+  private def annGatedExact(spark: SparkSession, dir: String, which: String,
+      threshold: Double): DataFrame = {
     val emb = Tables.load(spark, dir, "embeddings")
     val queries = emb.filter(col("vec_id") < 10)
     val corpus = emb.filter(col("vec_id") >= 10)
-    withRecall(
-        Similarity.ivfTopK(queries, corpus, "vec_id", "embedding", k = 3, nProbe = 4),
-        Similarity.bruteForceTopK(queries, corpus, "vec_id", "embedding", k = 3), k = 3)
-      .orderBy(col("query_id"), col("rnk"))
+    val k = 3
+    val exact = Similarity.bruteForceTopK(queries, corpus, "vec_id", "embedding", k)
+    val ann = annTopK(queries, corpus, which, k)
+    val nHit = ann.select(col("query_id"), col("cand_id"))
+      .join(exact.select(col("query_id"), col("cand_id")),
+        Seq("query_id", "cand_id"), "left_semi")
+      .agg(count(lit(1)).as("n_hit"))
+    val nExact = exact.agg(count(lit(1)).as("n_exact"))
+    val gate = nHit.crossJoin(nExact)
+      .select((col("n_hit").cast("double") >= col("n_exact") * threshold)
+        .as("recall_ok"))
+    exact.crossJoin(gate).orderBy(col("query_id"), col("rnk"))
   }
+
+  /** LSH-bucketed top-3 (the 100 TB candidate-generation path): fnv-seeded
+    * hyperplane buckets DuckDB can't derive, so the entry emits the exact
+    * top-3 plus the in-engine ANN recall band flag (see [[annGatedExact]]). */
+  def qSimSearchLsh(spark: SparkSession, dir: String): DataFrame =
+    annGatedExact(spark, dir, "lsh", threshold = 0.40)
+
+  /** IVF-bucketed top-3 (data-adaptive k-means centroids vs the LSH
+    * variant's oblivious hyperplanes), same gated-exact entry shape. */
+  def qSimSearchIvf(spark: SparkSession, dir: String): DataFrame =
+    annGatedExact(spark, dir, "ivf", threshold = 0.55)
+
+  private def simSearchExactGatedSql(k: Int): String = s"""
+    WITH q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE vec_id < 10),
+    c AS (SELECT vec_id AS cand_id, embedding AS cv FROM embeddings WHERE vec_id >= 10),
+    scored AS (
+      SELECT query_id, cand_id,
+             list_sum(list_transform(list_zip(qv, cv),
+               x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE))) /
+             (sqrt(list_sum(list_transform(qv, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) *
+              sqrt(list_sum(list_transform(cv, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))) AS sim
+      FROM c CROSS JOIN q),
+    ranked AS (
+      SELECT query_id, cand_id, sim,
+             ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY sim DESC, cand_id ASC) AS rnk
+      FROM scored)
+    SELECT query_id, cand_id, sim, rnk, TRUE AS recall_ok
+    FROM ranked WHERE rnk <= $k
+    ORDER BY query_id, rnk"""
+
+  val qSimSearchLshSql: String = simSearchExactGatedSql(3)
+  val qSimSearchIvfSql: String = simSearchExactGatedSql(3)
 
   /** Multimodal plumbing: binary media + metadata → batch feature
     * extraction (stubbed codec) → per-format aggregate. The stub codec

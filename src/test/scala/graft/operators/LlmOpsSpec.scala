@@ -584,18 +584,23 @@ class LlmOpsSpec extends SparkSpec {
 
   test("ANN entries pin recall_at_k at the driver scale factors") {
     import graft.queries.LlmOps
-    def meanRecall(dir: String,
-        fn: (org.apache.spark.sql.SparkSession, String) => org.apache.spark.sql.DataFrame): Double = {
-      val rows = fn(spark, dir).select(col("query_id"), col("recall_at_k"))
-        .distinct().collect()
+    def meanRecall(dir: String, which: String): Double = {
+      val rows = LlmOps.annRecallByQuery(spark, dir, which).collect()
       rows.map(_.getDouble(1)).sum / rows.length
     }
     val eps = 1e-9
     // Pinned measurements (recall@3, 10 queries, defaults documented in
     // LlmOps): a bucketing/re-rank/candidate regression moves these.
-    assert(math.abs(meanRecall("/root/testdata/sf0.001", LlmOps.qSimSearchLsh) - 18.0 / 30) < eps)
-    assert(math.abs(meanRecall("/root/testdata/sf0.01", LlmOps.qSimSearchLsh) - 14.0 / 30) < eps)
-    assert(math.abs(meanRecall("/root/testdata/sf0.001", LlmOps.qSimSearchIvf) - 22.0 / 30) < eps)
-    assert(math.abs(meanRecall("/root/testdata/sf0.01", LlmOps.qSimSearchIvf) - 19.0 / 30) < eps)
+    assert(math.abs(meanRecall("/root/testdata/sf0.001", "lsh") - 18.0 / 30) < eps)
+    assert(math.abs(meanRecall("/root/testdata/sf0.01", "lsh") - 14.0 / 30) < eps)
+    assert(math.abs(meanRecall("/root/testdata/sf0.001", "ivf") - 22.0 / 30) < eps)
+    assert(math.abs(meanRecall("/root/testdata/sf0.01", "ivf") - 19.0 / 30) < eps)
+    // The driver entries band these measurements: recall_ok must be TRUE
+    // on every row at both gate scales (the oracle pins literal TRUE).
+    for (dir <- Seq("/root/testdata/sf0.001", "/root/testdata/sf0.01");
+         fn <- Seq(LlmOps.qSimSearchLsh _, LlmOps.qSimSearchIvf _)) {
+      val flags = fn(spark, dir).select(col("recall_ok")).distinct().collect()
+      assert(flags.map(_.getBoolean(0)).toSeq === Seq(true))
+    }
   }
 }
