@@ -58,4 +58,8 @@ class GoldenRunnerSpec extends SparkSpec {
   test("inline-view LIMIT corpus (reference inline-view-limit.test shapes) matches") {
     runCorpus("/golden/inline_view_limit.test")
   }
+
+  test("analytic-functions corpus (reference analytic-fns.test shapes) matches") {
+    runCorpus("/golden/analytic.test")
+  }
 }
