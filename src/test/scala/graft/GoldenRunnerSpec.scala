@@ -19,7 +19,8 @@ class GoldenRunnerSpec extends SparkSpec {
       val sql = section("QUERY").mkString("\n").trim
       if (sql.isEmpty) None
       else Some(Case(sql, section("RESULTS").map(_.trim).filter(_.nonEmpty),
-        section("TYPES").mkString(",").split(",").map(_.trim).toSeq))
+        // split on commas outside parens so decimal(p,s) stays one type
+        section("TYPES").mkString(",").split(""",(?![^(]*\))""").map(_.trim).toSeq))
     }
 
   private def render(v: Any): String = v match {
@@ -61,5 +62,9 @@ class GoldenRunnerSpec extends SparkSpec {
 
   test("analytic-functions corpus (reference analytic-fns.test shapes) matches") {
     runCorpus("/golden/analytic.test")
+  }
+
+  test("decimal arithmetic corpus (reference decimal.test shapes) matches") {
+    runCorpus("/golden/decimal.test")
   }
 }
