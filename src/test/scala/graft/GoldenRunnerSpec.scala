@@ -67,4 +67,8 @@ class GoldenRunnerSpec extends SparkSpec {
   test("decimal arithmetic corpus (reference decimal.test shapes) matches") {
     runCorpus("/golden/decimal.test")
   }
+
+  test("aggregation corpus (reference aggregation/distinct.test shapes) matches") {
+    runCorpus("/golden/aggregation.test")
+  }
 }
