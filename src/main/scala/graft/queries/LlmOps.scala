@@ -300,7 +300,7 @@ object LlmOps {
     * The recall scalar is computed declaratively (semi-join count over
     * exact count, both 1-row aggregates cross-joined back) — no driver-
     * side action, and the 1-row side broadcasts. */
-  private def annGatedExact(spark: SparkSession, dir: String, which: String,
+  private[graft] def annGatedExact(spark: SparkSession, dir: String, which: String,
       threshold: Double): DataFrame = {
     val emb = Tables.load(spark, dir, "embeddings")
     val queries = emb.filter(col("vec_id") < 10)

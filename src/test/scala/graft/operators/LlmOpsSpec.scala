@@ -602,5 +602,12 @@ class LlmOpsSpec extends SparkSpec {
       val flags = fn(spark, dir).select(col("recall_ok")).distinct().collect()
       assert(flags.map(_.getBoolean(0)).toSeq === Seq(true))
     }
+    // ... and the flag is not vacuously true: an unreachable bar flips it
+    // FALSE on every row, so a regression in the gate plumbing itself
+    // (not just in ANN recall) would also surface.
+    val inverted = LlmOps.annGatedExact(spark, "/root/testdata/sf0.001", "lsh",
+        threshold = 1.01)
+      .select(col("recall_ok")).distinct().collect()
+    assert(inverted.map(_.getBoolean(0)).toSeq === Seq(false))
   }
 }
