@@ -71,4 +71,8 @@ class GoldenRunnerSpec extends SparkSpec {
   test("aggregation corpus (reference aggregation/distinct.test shapes) matches") {
     runCorpus("/golden/aggregation.test")
   }
+
+  test("join-semantics corpus (reference joins/outer-joins.test shapes) matches") {
+    runCorpus("/golden/joins.test")
+  }
 }
