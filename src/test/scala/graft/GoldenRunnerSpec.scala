@@ -75,4 +75,8 @@ class GoldenRunnerSpec extends SparkSpec {
   test("join-semantics corpus (reference joins/outer-joins.test shapes) matches") {
     runCorpus("/golden/joins.test")
   }
+
+  test("ordering/set-ops corpus (reference sort/top-n/union/values.test shapes) matches") {
+    runCorpus("/golden/sort_setops.test")
+  }
 }
