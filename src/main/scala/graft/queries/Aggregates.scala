@@ -10,7 +10,8 @@ import Parity._
   * (fe/.../catalog/BuiltinsDb.java:522-792, be/src/exprs/aggregate-functions.cc)
   * mapped onto Spark's hash aggregation. Two-phase DISTINCT, min/max,
   * group_concat, the variance family, and the approximate family
-  * (ndv/appx_median — sketch-based, so oracle-checked as rows-only).
+  * (ndv/appx_median — sketch-based, oracle-checked through exact
+  * aggregates plus in-engine error-envelope flags, see [[qAggApprox]]).
   *
   * Determinism notes (the part that makes these hash-match a single-threaded
   * DuckDB): double sums go through [[Parity.dsum]]; group_concat is made
@@ -167,11 +168,17 @@ object Aggregates {
   /** Approximate family: ndv / appx_count_distinct → HLL++
     * (reference: HLL with 2^10 buckets, aggregate-functions.h:174-184;
     * Spark's approx_count_distinct is HLL++ — same asymptotics, different
-    * sketch constants, so no oracle SQL: rows-only check, exact-count
-    * parity asserted in ScalaTest within HLL error bounds). appx_median →
-    * percentile_approx(0.5) (reference reservoir sampling,
-    * aggregate-functions.h:143-167). */
-  def qAggApprox(spark: SparkSession, dir: String): DataFrame = {
+    * sketch constants, so the sketch VALUES can't be oracle'd directly).
+    * appx_median → percentile_approx(0.5) (reference reservoir sampling,
+    * aggregate-functions.h:143-167). Oracle-checked via exact aggregates
+    * plus in-engine band flags the oracle pins TRUE — see the body
+    * comment; band parameters exposed for the non-vacuity spec. */
+  def qAggApprox(spark: SparkSession, dir: String): DataFrame =
+    qAggApproxBanded(spark, dir, ndvLo = 0.9, ndvHi = 1.1,
+      rankLo = 0.45, rankHi = 0.55)
+
+  private[graft] def qAggApproxBanded(spark: SparkSession, dir: String,
+      ndvLo: Double, ndvHi: Double, rankLo: Double, rankHi: Double): DataFrame = {
     val li = Tables.load(spark, dir, "lineitem")
     // Sketch outputs (HLL++ ndv, appx median) are deterministic but not
     // DuckDB-derivable, so the entry emits the EXACT ndv aggregates
@@ -205,11 +212,11 @@ object Aggregates {
       .join(amRank, Seq("l_returnflag"))
       .select(
         rf, col("ndv_part_exact"), col("ndv_order_exact"),
-        (col("ap").cast("double") >= col("ndv_part_exact") * 0.9 &&
-         col("ap").cast("double") <= col("ndv_part_exact") * 1.1).as("ndv_part_ok"),
-        (col("ao").cast("double") >= col("ndv_order_exact") * 0.9 &&
-         col("ao").cast("double") <= col("ndv_order_exact") * 1.1).as("ndv_order_ok"),
-        (col("am_rank") >= 0.45 && col("am_rank") <= 0.55).as("median_ok"))
+        (col("ap").cast("double") >= col("ndv_part_exact") * ndvLo &&
+         col("ap").cast("double") <= col("ndv_part_exact") * ndvHi).as("ndv_part_ok"),
+        (col("ao").cast("double") >= col("ndv_order_exact") * ndvLo &&
+         col("ao").cast("double") <= col("ndv_order_exact") * ndvHi).as("ndv_order_ok"),
+        (col("am_rank") >= rankLo && col("am_rank") <= rankHi).as("median_ok"))
       .orderBy(rf)
   }
 

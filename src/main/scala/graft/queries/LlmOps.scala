@@ -270,14 +270,17 @@ object LlmOps {
     * numerators these produce. `which` is "lsh" or "ivf". */
   def annRecallByQuery(spark: SparkSession, dir: String, which: String,
       k: Int = 3): DataFrame = {
-    val emb = Tables.load(spark, dir, "embeddings")
-    val queries = emb.filter(col("vec_id") < 10)
-    val corpus = emb.filter(col("vec_id") >= 10)
+    val (queries, corpus) = annParts(spark, dir)
     val ann = annTopK(queries, corpus, which, k)
     withRecall(ann,
         Similarity.bruteForceTopK(queries, corpus, "vec_id", "embedding", k),
         k)
       .select(col("query_id"), col("recall_at_k")).distinct()
+  }
+
+  private def annParts(spark: SparkSession, dir: String): (DataFrame, DataFrame) = {
+    val emb = Tables.load(spark, dir, "embeddings")
+    (emb.filter(col("vec_id") < 10), emb.filter(col("vec_id") >= 10))
   }
 
   private def annTopK(queries: DataFrame, corpus: DataFrame, which: String,
@@ -297,26 +300,29 @@ object LlmOps {
     * The thresholds sit under the spec-pinned per-SF measurements
     * (LSH 18/30 @sf0.001, 14/30 @sf0.01; IVF 22/30, 19/30) so the flag
     * is deterministically TRUE on healthy code at either gate scale.
-    * The recall scalar is computed declaratively (semi-join count over
-    * exact count, both 1-row aggregates cross-joined back) — no driver-
-    * side action, and the 1-row side broadcasts. */
+    * The recall scalar is computed declaratively — each exact row is
+    * flagged hit/miss by an outer join against the ANN rows, and one
+    * whole-frame window turns the flags into the aggregate recall
+    * verdict. The expensive exact subtree (corpus cross-join + cosine +
+    * rank) therefore appears exactly ONCE in the plan, the window runs
+    * over nQueries*k rows (tiny by construction), and there is no
+    * driver-side action. */
   private[graft] def annGatedExact(spark: SparkSession, dir: String, which: String,
       threshold: Double): DataFrame = {
-    val emb = Tables.load(spark, dir, "embeddings")
-    val queries = emb.filter(col("vec_id") < 10)
-    val corpus = emb.filter(col("vec_id") >= 10)
+    import org.apache.spark.sql.expressions.Window
+    val (queries, corpus) = annParts(spark, dir)
     val k = 3
     val exact = Similarity.bruteForceTopK(queries, corpus, "vec_id", "embedding", k)
     val ann = annTopK(queries, corpus, which, k)
-    val nHit = ann.select(col("query_id"), col("cand_id"))
-      .join(exact.select(col("query_id"), col("cand_id")),
-        Seq("query_id", "cand_id"), "left_semi")
-      .agg(count(lit(1)).as("n_hit"))
-    val nExact = exact.agg(count(lit(1)).as("n_exact"))
-    val gate = nHit.crossJoin(nExact)
-      .select((col("n_hit").cast("double") >= col("n_exact") * threshold)
-        .as("recall_ok"))
-    exact.crossJoin(gate).orderBy(col("query_id"), col("rnk"))
+    val whole = Window.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    exact
+      .join(ann.select(col("query_id"), col("cand_id"), lit(1).as("hit")),
+        Seq("query_id", "cand_id"), "left_outer")
+      .withColumn("recall_ok",
+        sum(coalesce(col("hit"), lit(0))).over(whole).cast("double") >=
+          count(lit(1)).over(whole) * threshold)
+      .drop("hit")
+      .orderBy(col("query_id"), col("rnk"))
   }
 
   /** LSH-bucketed top-3 (the 100 TB candidate-generation path): fnv-seeded
