@@ -17,8 +17,9 @@ import Parity._
   * DuckDB): double sums go through [[Parity.dsum]]; group_concat is made
   * order-deterministic by sorting the collected array (the reference itself
   * documents group_concat order as nondeterministic — we pin it); the
-  * variance family is rounded to 6 decimals because Spark's distributed
-  * moment merge and DuckDB's sequential one differ in the last ulps.
+  * variance family is derived from exact decimal moments (see [[qAggStats]])
+  * because distributed double moment merges differ from DuckDB's
+  * sequential fold in the last ulps.
   */
 object Aggregates {
 
@@ -111,7 +112,10 @@ object Aggregates {
     val grouped = o.groupBy(col("o_orderstatus"))
       .agg(
         dsum(x).as("sx"),
-        sum(xd * xd).cast("double").as("sxx"),
+        // string-routed decimal→double like Parity.dsum: the exact sum of
+        // squares exceeds 2^53 from sf0.1 up, where DuckDB's direct cast
+        // double-rounds 1 ULP off Spark's (see Parity.dsum note)
+        sum(xd * xd).cast("string").cast("double").as("sxx"),
         count(lit(1)).as("n"))
     val n = col("n").cast("double")
     val vSamp = (col("sxx") - col("sx") * col("sx") / n) / (n - lit(1.0))
@@ -131,7 +135,7 @@ object Aggregates {
     WITH g AS (
       SELECT o_orderstatus,
              ${dsumSql("o_totalprice")} AS sx,
-             CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2)) * CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sxx,
+             CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2)) * CAST(o_totalprice AS DECIMAL(18,2))) AS STRING) AS DOUBLE) AS sxx,
              COUNT(*) AS n
       FROM orders GROUP BY o_orderstatus)
     SELECT o_orderstatus,

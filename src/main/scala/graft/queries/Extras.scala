@@ -266,7 +266,7 @@ object Extras {
     SELECT e.event_type,
            COUNT(*) AS n,
            COUNT(u.rate) AS n_matched,
-           CAST(SUM(CAST(u.rate AS DECIMAL(28,2))) AS DOUBLE) AS sum_rate
+           CAST(CAST(SUM(CAST(u.rate AS DECIMAL(28,2))) AS STRING) AS DOUBLE) AS sum_rate
     FROM events e ASOF LEFT JOIN upd u
       ON e.event_type = u.event_type AND e.ts >= u.ts
     GROUP BY e.event_type

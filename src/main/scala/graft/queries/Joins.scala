@@ -176,7 +176,7 @@ object Joins {
 
   val qJoinOuterSql: String = """
     WITH rev AS (
-      SELECT l_orderkey, CAST(SUM(CAST(l_extendedprice AS DECIMAL(28,2))) AS DOUBLE) AS returned_rev
+      SELECT l_orderkey, CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(28,2))) AS STRING) AS DOUBLE) AS returned_rev
       FROM lineitem WHERE l_returnflag = 'R' GROUP BY l_orderkey),
     open_o AS (SELECT o_orderkey, o_totalprice FROM orders WHERE o_orderstatus = 'O')
     SELECT CASE WHEN l_orderkey IS NULL THEN 'right_only'

@@ -23,18 +23,28 @@ import org.apache.spark.sql.functions._
   */
 object Parity {
 
-  /** Exact decimal sum of a double column, surfaced as double. */
+  /** Exact decimal sum of a double column, surfaced as double.
+    *
+    * The decimal→double hop goes THROUGH A STRING on purpose: DuckDB's
+    * direct decimal→double cast double-rounds once the unscaled value
+    * exceeds 2^53 (hugeint→double, then ÷10^s — measured 1 ULP off
+    * Spark's correctly-rounded BigDecimal.doubleValue on every sf0.1
+    * orders sum-of-squares group), while string→double parsing is
+    * correctly rounded in BOTH engines (fast_float / Double.parseDouble).
+    * Below 2^53 the two paths agree exactly, so this changes nothing at
+    * small scale and keeps the hash gate stable at any scale. */
   def dsum(c: Column, scale: Int = 2): Column =
-    sum(c.cast(s"decimal(28,$scale)")).cast("double")
+    sum(c.cast(s"decimal(28,$scale)")).cast("string").cast("double")
 
   /** Exact decimal avg: exact sum / exact count, then one double divide
     * (deterministic: both engines divide the same two exact numbers). */
   def davg(c: Column, scale: Int = 2): Column =
     dsum(c, scale) / count(c)
 
-  /** SQL mirror of [[dsum]] for DuckDB oracle text. */
+  /** SQL mirror of [[dsum]] for DuckDB oracle text (string-routed like
+    * [[dsum]] — see the conversion note there). */
   def dsumSql(e: String, scale: Int = 2): String =
-    s"CAST(SUM(CAST($e AS DECIMAL(28,$scale))) AS DOUBLE)"
+    s"CAST(CAST(SUM(CAST($e AS DECIMAL(28,$scale))) AS STRING) AS DOUBLE)"
 
   /** SQL mirror of [[davg]]. */
   def davgSql(e: String, scale: Int = 2): String =

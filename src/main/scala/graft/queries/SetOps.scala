@@ -55,12 +55,12 @@ object SetOps {
     WITH big_orders AS (
       SELECT o_orderkey, o_custkey, o_totalprice
       FROM orders
-      WHERE o_totalprice > (SELECT CAST(SUM(CAST(o_totalprice AS DECIMAL(28,2))) AS DOUBLE) / COUNT(*) * 1.5
+      WHERE o_totalprice > (SELECT CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(28,2))) AS STRING) AS DOUBLE) / COUNT(*) * 1.5
                             FROM orders)
     )
     SELECT c_mktsegment,
            COUNT(*) AS n_big,
-           CAST(SUM(CAST(o_totalprice AS DECIMAL(28,2))) AS DOUBLE) AS sum_big
+           CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(28,2))) AS STRING) AS DOUBLE) AS sum_big
     FROM customer JOIN big_orders ON c_custkey = o_custkey
     WHERE EXISTS (SELECT 1 FROM lineitem
                   WHERE l_orderkey = o_orderkey AND l_returnflag = 'R')

@@ -118,8 +118,8 @@ object SourceSink {
   val qSinkRoundtripSql: String = """
     SELECT o_orderstatus,
            COUNT(*) AS n,
-           CAST(SUM(CAST(CASE WHEN o_orderstatus = 'O' THEN o_totalprice * 2
-                              ELSE o_totalprice END AS DECIMAL(28,2))) AS DOUBLE) AS sum_price,
+           CAST(CAST(SUM(CAST(CASE WHEN o_orderstatus = 'O' THEN o_totalprice * 2
+                              ELSE o_totalprice END AS DECIMAL(28,2))) AS STRING) AS DOUBLE) AS sum_price,
            COUNT(DISTINCT o_orderkey) AS n_keys
     FROM orders
     GROUP BY o_orderstatus

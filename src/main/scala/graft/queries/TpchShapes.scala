@@ -136,7 +136,7 @@ object TpchShapes {
   val q18LargeOrdersSql: String = """
     SELECT c_custkey, c_name, o_orderkey,
            CAST(o_orderdate AS DATE) AS o_orderdate, o_totalprice,
-           CAST(SUM(CAST(l_quantity AS DECIMAL(28,2))) AS DOUBLE) AS total_qty
+           CAST(CAST(SUM(CAST(l_quantity AS DECIMAL(28,2))) AS STRING) AS DOUBLE) AS total_qty
     FROM customer
     JOIN orders ON c_custkey = o_custkey
     JOIN lineitem ON o_orderkey = l_orderkey
@@ -180,7 +180,7 @@ object TpchShapes {
       FROM events)
     SELECT hr, event_type,
            COUNT(*) AS n,
-           CAST(SUM(CAST(value AS DECIMAL(28,2))) AS DOUBLE) AS sum_value,
+           CAST(CAST(SUM(CAST(value AS DECIMAL(28,2))) AS STRING) AS DOUBLE) AS sum_value,
            COUNT(prev_ts) AS n_with_prev
     FROM g
     WHERE hr < TIMESTAMP '2024-01-02 00:00:00'
@@ -213,7 +213,7 @@ object TpchShapes {
            MIN(ts) AS first_ts,
            MAX(ts) AS last_ts,
            COUNT(*) AS n_events,
-           CAST(SUM(CAST(value AS DECIMAL(28,2))) AS DOUBLE) AS total_value
+           CAST(CAST(SUM(CAST(value AS DECIMAL(28,2))) AS STRING) AS DOUBLE) AS total_value
     FROM numbered
     GROUP BY user_id, session_id
     ORDER BY user_id, first_ts"""

@@ -29,7 +29,7 @@ object TpchShapes2 {
   val q7NationVolumeSql: String = """
     SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
            year(l_shipdate) AS l_year,
-           CAST(SUM(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(28,4))) AS DOUBLE) AS volume
+           CAST(CAST(SUM(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(28,4))) AS STRING) AS DOUBLE) AS volume
     FROM lineitem
     JOIN orders ON l_orderkey = o_orderkey
     JOIN supplier ON l_suppkey = s_suppkey
@@ -62,8 +62,8 @@ object TpchShapes2 {
       WHERE r_name = 'ASIA'
         AND o_orderdate BETWEEN TIMESTAMP '1996-01-01 00:00:00' AND TIMESTAMP '1997-12-31 00:00:00')
     SELECT o_year,
-           CAST(SUM(CAST(CASE WHEN supp_nation = 'NATION_1' THEN volume ELSE 0.0 END AS DECIMAL(28,4))) AS DOUBLE)
-             / CAST(SUM(CAST(volume AS DECIMAL(28,4))) AS DOUBLE) AS mkt_share,
+           CAST(CAST(SUM(CAST(CASE WHEN supp_nation = 'NATION_1' THEN volume ELSE 0.0 END AS DECIMAL(28,4))) AS STRING) AS DOUBLE)
+             / CAST(CAST(SUM(CAST(volume AS DECIMAL(28,4))) AS STRING) AS DOUBLE) AS mkt_share,
            COUNT(*) AS n
     FROM all_orders
     GROUP BY o_year
@@ -75,8 +75,8 @@ object TpchShapes2 {
 
   val q9ProfitSql: String = """
     SELECT n_name, year(o_orderdate) AS o_year,
-           CAST(SUM(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(28,4))) AS DOUBLE)
-             - CAST(SUM(CAST(p_retailprice * l_quantity AS DECIMAL(28,3)) * CAST(0.6 AS DECIMAL(3,1))) AS DOUBLE) AS profit
+           CAST(CAST(SUM(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(28,4))) AS STRING) AS DOUBLE)
+             - CAST(CAST(SUM(CAST(p_retailprice * l_quantity AS DECIMAL(28,3)) * CAST(0.6 AS DECIMAL(3,1))) AS STRING) AS DOUBLE) AS profit
     FROM lineitem
     JOIN orders ON l_orderkey = o_orderkey
     JOIN part ON l_partkey = p_partkey
@@ -152,7 +152,7 @@ object TpchShapes2 {
 
   val q11ImportantStockSql: String = """
     SELECT l_partkey,
-           CAST(SUM(CAST(l_extendedprice * l_quantity AS DECIMAL(28,4))) AS DOUBLE) AS value
+           CAST(CAST(SUM(CAST(l_extendedprice * l_quantity AS DECIMAL(28,4))) AS STRING) AS DOUBLE) AS value
     FROM lineitem
     JOIN supplier ON l_suppkey = s_suppkey
     JOIN nation ON s_nationkey = n_nationkey
@@ -186,12 +186,12 @@ object TpchShapes2 {
     run(spark, dir, q17AvgQtySql)
 
   val q17AvgQtySql: String = """
-    SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(28,2))) AS DOUBLE) / 7.0 AS avg_yearly,
+    SELECT CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(28,2))) AS STRING) AS DOUBLE) / 7.0 AS avg_yearly,
            COUNT(*) AS n_lines
     FROM lineitem
     JOIN part ON p_partkey = l_partkey
     WHERE p_brand = 'Brand#3'
-      AND l_quantity < (SELECT 0.5 * (CAST(SUM(CAST(l2.l_quantity AS DECIMAL(28,2))) AS DOUBLE) / COUNT(*))
+      AND l_quantity < (SELECT 0.5 * (CAST(CAST(SUM(CAST(l2.l_quantity AS DECIMAL(28,2))) AS STRING) AS DOUBLE) / COUNT(*))
                         FROM lineitem l2 WHERE l2.l_partkey = part.p_partkey)"""
 
   /** Q19 shape: OR-of-ANDs multi-attribute predicate pushdown. */
@@ -199,7 +199,7 @@ object TpchShapes2 {
     run(spark, dir, q19OrPredicatesSql)
 
   val q19OrPredicatesSql: String = """
-    SELECT CAST(SUM(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(28,4))) AS DOUBLE) AS revenue,
+    SELECT CAST(CAST(SUM(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(28,4))) AS STRING) AS DOUBLE) AS revenue,
            COUNT(*) AS n
     FROM lineitem
     JOIN part ON p_partkey = l_partkey
@@ -214,9 +214,9 @@ object TpchShapes2 {
   val q22RatioSql: String = """
     SELECT c_nationkey % 5 AS cntry_bucket,
            COUNT(*) AS numcust,
-           CAST(SUM(CAST(c_acctbal AS DECIMAL(28,2))) AS DOUBLE) AS totacctbal
+           CAST(CAST(SUM(CAST(c_acctbal AS DECIMAL(28,2))) AS STRING) AS DOUBLE) AS totacctbal
     FROM customer
-    WHERE c_acctbal > (SELECT CAST(SUM(CAST(c_acctbal AS DECIMAL(28,2))) AS DOUBLE) / COUNT(*)
+    WHERE c_acctbal > (SELECT CAST(CAST(SUM(CAST(c_acctbal AS DECIMAL(28,2))) AS STRING) AS DOUBLE) / COUNT(*)
                        FROM customer WHERE c_acctbal > 0.0)
       AND NOT EXISTS (SELECT 1 FROM orders
                       WHERE o_custkey = c_custkey AND o_totalprice > 400000.0)
@@ -231,7 +231,7 @@ object TpchShapes2 {
   val q15TopSupplierSql: String = """
     WITH revenue0 AS (
       SELECT l_suppkey AS supplier_no,
-             CAST(SUM(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(28,4))) AS DOUBLE) AS total_revenue
+             CAST(CAST(SUM(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(28,4))) AS STRING) AS DOUBLE) AS total_revenue
       FROM lineitem
       WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
         AND l_shipdate < TIMESTAMP '1997-04-01 00:00:00'
@@ -290,7 +290,7 @@ object TpchShapes2 {
   val qGroupingSetsSql: String = """
     SELECT l_returnflag, l_linestatus,
            COUNT(*) AS n,
-           CAST(SUM(CAST(l_quantity AS DECIMAL(28,2))) AS DOUBLE) AS sum_qty,
+           CAST(CAST(SUM(CAST(l_quantity AS DECIMAL(28,2))) AS STRING) AS DOUBLE) AS sum_qty,
            GROUPING(l_returnflag) AS g_rf, GROUPING(l_linestatus) AS g_ls
     FROM lineitem
     GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_returnflag), ())
