@@ -99,7 +99,16 @@ object Similarity {
     * is query-side only: the corpus keeps exactly one bucket per vector,
     * so the candidate join stays a bucket equi-join touching
     * ~(planes+1)/2^planes of the corpus per query. Recall < 1 by
-    * construction (documented); `planes` tunes the recall/cost point. */
+    * construction (documented); `planes` tunes the recall/cost point.
+    *
+    * `tables` (the classic L-tables trade) only buys recall when the
+    * plane families cut the data DIFFERENTLY. On a corpus whose variance
+    * is dominated by one cluster direction, every centered hyperplane's
+    * sign follows cluster membership and all families collapse to the
+    * same two complementary buckets — measured on the synthetic corpus:
+    * tables=1/2/4 yield byte-identical candidate sets. Cross-cluster
+    * neighbors are then unreachable by ANY sign-LSH configuration; use
+    * the IVF variant (data-adaptive centroids, nProbe>1) for that regime. */
   def lshTopK(
       queries: DataFrame, corpus: DataFrame,
       idCol: String, vecCol: String, k: Int, planes: Int = 6, dims: Int = 64,

@@ -285,6 +285,13 @@ object LlmOps {
 
   private def annTopK(queries: DataFrame, corpus: DataFrame, which: String,
       k: Int): DataFrame = which match {
+    // tables=1 deliberately: on the synthetic two-cluster corpus every
+    // centered hyperplane family computes the SAME two-way split (measured:
+    // tables 1/2/4 produce byte-identical candidate sets — each table's
+    // corpus collapses to the two complementary sign patterns), so extra
+    // tables are pure cost here. The recall misses are cross-cluster true
+    // neighbors, which IVF's nProbe>1 does recover — that is exactly the
+    // structural difference the two entries exist to demonstrate.
     case "lsh" => Similarity.lshTopK(queries, corpus, "vec_id", "embedding", k)
     case "ivf" => Similarity.ivfTopK(queries, corpus, "vec_id", "embedding", k,
       nProbe = 4)
