@@ -79,4 +79,8 @@ class GoldenRunnerSpec extends SparkSpec {
   test("ordering/set-ops corpus (reference sort/top-n/union/values.test shapes) matches") {
     runCorpus("/golden/sort_setops.test")
   }
+
+  test("timestamp/interval corpus (reference timestamp shapes) matches") {
+    runCorpus("/golden/timestamp.test")
+  }
 }
