@@ -172,6 +172,36 @@ object Ddl {
   // LOAD DATA (LoadDataStmt.java): move files into the table directory
   // ------------------------------------------------------------------
 
+  /** Split a `k1='v1', k2=2, k3=NULL` partition spec into (key, value)
+    * pairs, honoring quotes: commas/equals inside a quoted value don't
+    * fragment the spec, surrounding quotes are stripped (doubled quotes
+    * unescape), and an unquoted NULL means the null partition. */
+  private[graft] def parsePartitionSpec(spec: String): Seq[(String, Option[String])] = {
+    val entries = scala.collection.mutable.ArrayBuffer[String]()
+    val cur = new StringBuilder
+    var quote: Char = 0
+    spec.foreach { ch =>
+      if (quote != 0) { if (ch == quote) quote = 0; cur += ch }
+      else if (ch == '\'' || ch == '"') { quote = ch; cur += ch }
+      else if (ch == ',') { entries += cur.toString; cur.clear() }
+      else cur += ch
+    }
+    require(quote == 0, s"unterminated quote in partition spec: $spec")
+    if (cur.nonEmpty) entries += cur.toString
+    entries.toSeq.map(_.trim).filter(_.nonEmpty).map { e =>
+      val eq = e.indexOf('=')
+      require(eq > 0, s"malformed partition spec entry (no '='): $e")
+      val k = e.substring(0, eq).trim.stripPrefix("`").stripSuffix("`")
+      val raw = e.substring(eq + 1).trim
+      val v =
+        if (raw.equalsIgnoreCase("NULL")) None
+        else if (raw.length >= 2 && (raw.head == '\'' || raw.head == '"') && raw.last == raw.head)
+          Some(raw.substring(1, raw.length - 1).replace(s"${raw.head}${raw.head}", raw.head.toString))
+        else Some(raw)
+      (k, v)
+    }
+  }
+
   /** `LOAD DATA INPATH 'src' INTO TABLE t [PARTITION (spec)]`: moves the
     * source files under the table (or partition) location and refreshes
     * metadata — file-move semantics like the reference, not a rewrite. */
@@ -182,7 +212,19 @@ object Ddl {
     val destBase = new org.apache.hadoop.fs.Path(meta.location)
     val dest = partitionSpec match {
       case Some(spec) =>
-        val sub = spec.split(",").map(_.trim.replaceAll("'|\"", "")).mkString("/")
+        // Partition values are data: a value containing `,`/`=`/`/` must
+        // not fragment the spec or the path, and special chars need the
+        // same Hive path escaping the writers use (%XX), or LOAD DATA
+        // targets a directory INSERT will never read. NULL routes to the
+        // engine-wide default-partition sentinel.
+        import org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils
+        val sub = parsePartitionSpec(spec).map { case (k, v) =>
+          val name = v match {
+            case None => ExternalCatalogUtils.DEFAULT_PARTITION_NAME
+            case Some(value) => ExternalCatalogUtils.escapePathName(value)
+          }
+          s"${ExternalCatalogUtils.escapePathName(k)}=$name"
+        }.mkString("/")
         new org.apache.hadoop.fs.Path(destBase, sub)
       case None => destBase
     }

@@ -58,11 +58,24 @@ object Options {
         spark.conf.set(s"spark.graft.option.${name.toLowerCase}", value)
     }
 
-  /** `SET` with no args: the current option surface. */
-  def show(spark: SparkSession): Map[String, String] =
-    spark.conf.getAll.filter { case (k, _) =>
-      k.startsWith("spark.graft.") || k.startsWith("spark.sql.")
+  /** `SET` with no args: the option surface only — recorded Impala
+    * options (`spark.graft.option.*`, surfaced under their Impala names)
+    * plus the live Spark confs the mapped options translate to. The
+    * reference prints its ~62 options here, not the engine's whole conf
+    * namespace; dumping every `spark.sql.*` would swamp a user the same
+    * way. */
+  def show(spark: SparkSession): Map[String, String] = {
+    val all = spark.conf.getAll
+    val recorded = all.collect {
+      case (k, v) if k.startsWith("spark.graft.option.") && k != NumNodesStash =>
+        k.stripPrefix("spark.graft.option.").toUpperCase -> v
     }
+    val live = mapped.map { case (name, f) =>
+      val (conf, _) = f("true")
+      name -> all.getOrElse(conf, "")
+    }.filter(_._2.nonEmpty)
+    recorded ++ live
+  }
 
   /** EXPLAIN honoring the session's `SET EXPLAIN_LEVEL` (0..3, default 0
     * like the reference's minimal level). */

@@ -162,14 +162,16 @@ object Similarity {
     // Train centroids on a bounded sample: KMeans quality saturates long
     // before 100k points, and fitting on the full corpus would make the
     // training pass O(corpus × iterations) — the one 100 TB scale hazard
-    // this operator had. Seeded sampling keeps the centroids (and thus the
-    // rows-only output) deterministic for a fixed corpus partitioning.
-    val trainCap = 100000L
-    val n = c.count()
-    val train =
-      if (n > trainCap) c.sample(withReplacement = false, trainCap.toDouble / n, seed = 42L)
-      else c
+    // this operator had. The cap is taken as the top-`trainCap` rows by
+    // id-hash (TakeOrderedAndProject: per-partition top-k + merge, no
+    // full sort, no prior count() pass) — a uniform pseudo-random sample
+    // that is deterministic regardless of corpus partitioning, then
+    // persisted so KMeans' iterations don't re-scan the corpus.
+    val trainCap = 100000
+    val train = c.orderBy(xxhash64(col("cand_id")).asc, col("cand_id").asc)
+      .limit(trainCap).persist()
     val model = new KMeans().setK(nCentroids).setSeed(42L).setMaxIter(10).fit(train)
+    train.unpersist(blocking = false)
     val assigned = model.transform(c)
       .select(col("cand_id"), col("cv"), col("prediction").as("bucket"))
 

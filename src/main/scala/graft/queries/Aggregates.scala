@@ -178,7 +178,11 @@ object Aggregates {
     * plus in-engine band flags the oracle pins TRUE — see the body
     * comment; band parameters exposed for the non-vacuity spec. */
   def qAggApprox(spark: SparkSession, dir: String): DataFrame =
-    qAggApproxBanded(spark, dir, ndvLo = 0.9, ndvHi = 1.1,
+    // ndv band ±15% ≈ 3σ at the default rsd 0.05: the sketch estimate is
+    // deterministic per scale but changes with scale, so a 2σ band risks
+    // a spurious driver red at the first unverified SF (advice r6); the
+    // non-vacuity spec still flips the flag under unreachable bands.
+    qAggApproxBanded(spark, dir, ndvLo = 0.85, ndvHi = 1.15,
       rankLo = 0.45, rankHi = 0.55)
 
   private[graft] def qAggApproxBanded(spark: SparkSession, dir: String,

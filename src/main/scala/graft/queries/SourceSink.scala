@@ -124,4 +124,45 @@ object SourceSink {
     FROM orders
     GROUP BY o_orderstatus
     ORDER BY o_orderstatus"""
+
+  /** INSERT corner cases (reference QueryTest/insert.test, insert_null.test):
+    * a NULL partition key must land in the `__HIVE_DEFAULT_PARTITION__`
+    * directory and round-trip back as NULL, and a mixed static+dynamic
+    * `PARTITION (p_status='O', p_pri)` overwrite must replace exactly the
+    * ('O', *) partitions present in the incoming data — including the
+    * ('O', NULL) one. The oracle computes the expected end-state straight
+    * from orders: 'O' rows doubled, '5-LOW' priority routed through NULL. */
+  def qSinkNullpart(spark: SparkSession, dir: String): DataFrame = {
+    val orders = Tables.load(spark, dir, "orders")
+      .withColumn("p_pri",
+        when(col("o_orderpriority") === "5-LOW", lit(null)).otherwise(col("o_orderpriority")))
+      .withColumn("p_status", col("o_orderstatus"))
+    val tag = dir.replaceAll("[^a-zA-Z0-9.]", "_")
+    val path = s"target/tmp/sink_nullpart_$tag"
+    // step 1: full overwrite, two partition levels, NULL keys included
+    TableSink.insertOverwrite(orders, path, Seq("p_status", "p_pri"))
+    // step 2: mixed static+dynamic — PARTITION (p_status='O', p_pri)
+    TableSink.insertOverwriteStaticDynamic(
+      orders.filter(col("o_orderstatus") === "O")
+        .withColumn("o_totalprice", col("o_totalprice") * 2)
+        .drop("p_status"),
+      path, staticSpec = Seq("p_status" -> "O"), dynamicCols = Seq("p_pri"))
+    // step 3: read back; the NULL partition must resurface as NULL p_pri
+    TableSink.read(spark, path)
+      .groupBy(col("p_status"), col("p_pri"))
+      .agg(
+        count(lit(1)).as("n"),
+        dsum(col("o_totalprice")).as("sum_price"))
+      .orderBy(col("p_status").asc, col("p_pri").asc_nulls_first)
+  }
+
+  val qSinkNullpartSql: String = """
+    SELECT o_orderstatus AS p_status,
+           CASE WHEN o_orderpriority = '5-LOW' THEN NULL ELSE o_orderpriority END AS p_pri,
+           COUNT(*) AS n,
+           CAST(CAST(SUM(CAST(CASE WHEN o_orderstatus = 'O' THEN o_totalprice * 2
+                              ELSE o_totalprice END AS DECIMAL(28,2))) AS STRING) AS DOUBLE) AS sum_price
+    FROM orders
+    GROUP BY 1, 2
+    ORDER BY p_status ASC, p_pri ASC NULLS FIRST"""
 }

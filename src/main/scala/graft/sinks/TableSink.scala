@@ -23,34 +23,51 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 object TableSink {
 
   /** Append rows (INSERT INTO). */
-  def insertInto(df: DataFrame, path: String, partitionBy: Seq[String] = Nil): Unit =
-    write(df, path, partitionBy, "append")
+  def insertInto(df: DataFrame, path: String, partitionBy: Seq[String] = Nil,
+      format: String = "parquet", options: Map[String, String] = Map.empty): Unit =
+    write(df, path, partitionBy, "append", format, options)
 
   /** Full overwrite (INSERT OVERWRITE, unpartitioned or static). */
-  def insertOverwrite(df: DataFrame, path: String, partitionBy: Seq[String] = Nil): Unit =
-    write(df, path, partitionBy, "overwrite")
+  def insertOverwrite(df: DataFrame, path: String, partitionBy: Seq[String] = Nil,
+      format: String = "parquet", options: Map[String, String] = Map.empty): Unit =
+    write(df, path, partitionBy, "overwrite", format, options)
+
+  /** Mixed static+dynamic partition INSERT OVERWRITE — the reference's
+    * `PARTITION (p1='x', p2)` form (InsertStmt.java static/dynamic split):
+    * the static prefix is pinned to a literal on every row and only the
+    * (static, dynamic…) partitions present in the data are replaced. */
+  def insertOverwriteStaticDynamic(df: DataFrame, path: String,
+      staticSpec: Seq[(String, String)], dynamicCols: Seq[String]): Unit = {
+    import org.apache.spark.sql.functions.lit
+    val pinned = staticSpec.foldLeft(df) { case (d, (k, v)) => d.withColumn(k, lit(v)) }
+    insertOverwriteDynamic(pinned, path, staticSpec.map(_._1) ++ dynamicCols)
+  }
 
   /** Dynamic-partition overwrite: replaces only partitions present in df. */
-  def insertOverwriteDynamic(df: DataFrame, path: String, partitionBy: Seq[String]): Unit = {
+  def insertOverwriteDynamic(df: DataFrame, path: String, partitionBy: Seq[String],
+      format: String = "parquet", options: Map[String, String] = Map.empty): Unit = {
     val spark = df.sparkSession
     val prev = spark.conf.getOption("spark.sql.sources.partitionOverwriteMode")
     spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
-    try write(df, path, partitionBy, "overwrite")
+    try write(df, path, partitionBy, "overwrite", format, options)
     finally prev match {
       case Some(v) => spark.conf.set("spark.sql.sources.partitionOverwriteMode", v)
       case None => spark.conf.unset("spark.sql.sources.partitionOverwriteMode")
     }
   }
 
-  private def write(df: DataFrame, path: String, partitionBy: Seq[String], mode: String): Unit = {
+  private def write(df: DataFrame, path: String, partitionBy: Seq[String],
+      mode: String, format: String, options: Map[String, String]): Unit = {
     val w0 = if (partitionBy.nonEmpty) {
       // co-locate rows of a partition before writing: one file per
       // (partition, task) instead of (partition × task) small files
       import org.apache.spark.sql.functions.col
       df.repartition(partitionBy.map(col): _*).write.partitionBy(partitionBy: _*)
     } else df.write
-    w0.mode(mode).parquet(path)
+    w0.mode(mode).format(format).options(options).save(path)
   }
 
-  def read(spark: SparkSession, path: String): DataFrame = spark.read.parquet(path)
+  def read(spark: SparkSession, path: String, format: String = "parquet",
+      options: Map[String, String] = Map.empty): DataFrame =
+    spark.read.format(format).options(options).load(path)
 }

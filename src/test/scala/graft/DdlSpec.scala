@@ -101,4 +101,27 @@ class DdlSpec extends SparkSpec {
     assert(left == null || !left.exists(f => f.getName.endsWith(".parquet")))
     spark.sql("DROP TABLE ddl_load_t")
   }
+
+  test("partition spec parsing survives quoted commas/equals and NULL") {
+    assert(Ddl.parsePartitionSpec("p1='a,b', p2=\"x=y\", p3=3, p4=NULL") ===
+      Seq("p1" -> Some("a,b"), "p2" -> Some("x=y"), "p3" -> Some("3"), "p4" -> None))
+    assert(Ddl.parsePartitionSpec("k='O''Brien'") === Seq("k" -> Some("O'Brien")))
+    intercept[IllegalArgumentException](Ddl.parsePartitionSpec("k='unterminated"))
+  }
+
+  test("LOAD DATA into a partition Hive-escapes the partition directory") {
+    import spark.implicits._
+    val src = tmpDir("ddl_load_part_src") + "/stage"
+    Seq((20, "x")).toDF("k", "v").write.mode("overwrite").parquet(src)
+    spark.sql("DROP TABLE IF EXISTS ddl_load_pt")
+    spark.sql("CREATE TABLE ddl_load_pt (k INT, v STRING) USING parquet PARTITIONED BY (p STRING)")
+    // value with a comma, an equals sign and a colon: must land in ONE
+    // escaped directory that INSERT/SELECT resolves, not fragment into
+    // nested dirs ('a,b=c:d' used to become .../'a/b=c/... )
+    spark.sql("INSERT INTO ddl_load_pt PARTITION (p='a,b=c:d') VALUES (1, 'seed')")
+    Ddl.loadData(spark, src, "ddl_load_pt", Some("p='a,b=c:d'"))
+    spark.sql("REFRESH TABLE ddl_load_pt")
+    assert(spark.table("ddl_load_pt").where("p = 'a,b=c:d'").count() === 2)
+    spark.sql("DROP TABLE ddl_load_pt")
+  }
 }

@@ -19,9 +19,24 @@ class GoldenRunnerSpec extends SparkSpec {
       val sql = section("QUERY").mkString("\n").trim
       if (sql.isEmpty) None
       else Some(Case(sql, section("RESULTS").map(_.trim).filter(_.nonEmpty),
-        // split on commas outside parens so decimal(p,s) stays one type
-        section("TYPES").mkString(",").split(""",(?![^(]*\))""").map(_.trim).toSeq))
+        // split on commas at nesting depth 0 only, so decimal(p,s) and
+        // generic types like map<string,int> each stay one type token
+        splitTypes(section("TYPES").mkString(","))))
     }
+
+  private def splitTypes(s: String): Seq[String] = {
+    val out = scala.collection.mutable.ArrayBuffer[String]()
+    val cur = new StringBuilder
+    var depth = 0
+    s.foreach {
+      case c @ ('(' | '<') => depth += 1; cur += c
+      case c @ (')' | '>') => depth -= 1; cur += c
+      case ',' if depth == 0 => out += cur.toString; cur.clear()
+      case c => cur += c
+    }
+    if (cur.nonEmpty) out += cur.toString
+    out.toSeq.map(_.trim).filter(_.nonEmpty)
+  }
 
   private def render(v: Any): String = v match {
     case null => "NULL"

@@ -17,7 +17,12 @@ class OptionsSpec extends SparkSpec {
     // resource-only option is accepted but inert
     Options.set(spark, "MEM_LIMIT", "2g")
     assert(spark.conf.get("spark.graft.option.mem_limit") === "2g")
-    assert(Options.show(spark).contains("spark.graft.option.mem_limit"))
+    // SET output is the option surface under Impala names, not the raw
+    // conf namespace (and never the whole spark.sql.* universe)
+    val shown = Options.show(spark)
+    assert(shown.get("MEM_LIMIT").contains("2g"))
+    assert(shown.contains("COMPRESSION_CODEC"))
+    assert(!shown.keys.exists(_.startsWith("spark.sql.")))
   }
 
   test("NUM_NODES: 1 collapses shuffle parallelism, 0 restores the default") {

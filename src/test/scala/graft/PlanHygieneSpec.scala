@@ -6,8 +6,10 @@ package graft
   * future regression that silently degrades an equi-join to a
   * nested-loop/cartesian plan (dropped join key, non-equi rewrite,
   * broadcast of an unbounded side) fails here instead of surfacing as an
-  * OOM at scale. Plans are only compiled, not executed, so the whole
-  * catalog checks in seconds. */
+  * OOM at scale. The emitted query itself is never executed; note that a
+  * few entries do run real work while CONSTRUCTING their plan (lshTopK
+  * collects corpus dim-means, ivfTopK fits KMeans, sink entries write
+  * fixtures), so this spec is cheap but not entirely side-effect-free. */
 class PlanHygieneSpec extends SparkSpec {
 
   /** Entries whose nested-loop join is the DESIGN, each with a bounded
@@ -18,10 +20,15 @@ class PlanHygieneSpec extends SparkSpec {
     *   (one pass, documented 100 TB shape — the ANN variants embed it as
     *   their oracle-checked exact side);
     * - q_dedup_cosine: the exact pair kernel, contract-bounded by the
-    *   caller (the production path is the LSH bucket equi-join). */
+    *   caller (the production path is the LSH bucket equi-join);
+    * - q_ds88_multicount: TPC-DS q88's documented shape — eight 1-row
+    *   scalar-count blocks cross-joined, bounded by construction;
+    * - q_sim_search_ivf_raw: the probe step ranks every query against the
+    *   broadcast CENTROID table (nCentroids=32 rows) — the nested loop's
+    *   build side is the centroid count, never the corpus. */
   private val allowedNestedLoop = Set(
     "q_join_cross", "q_sim_search", "q_sim_search_lsh", "q_sim_search_ivf",
-    "q_dedup_cosine")
+    "q_dedup_cosine", "q_ds88_multicount", "q_sim_search_ivf_raw")
 
   test("no entry plans a cartesian product or an unexpected nested-loop join") {
     val dir = "/root/testdata/sf0.001"

@@ -9,19 +9,36 @@ import org.scalatest.funsuite.AnyFunSuite
   * nonexistent query. */
 class SparkEntryContractSpec extends AnyFunSuite {
 
+  /** The deliberate rows-only entries: raw ANN candidate paths whose
+    * bucket contents DuckDB can't derive — their gated twins
+    * (q_sim_search_lsh/ivf) carry the hash-checked oracle. Anything else
+    * missing an oracle is a typo this spec exists to catch. */
+  private val rowsOnlyByDesign = Set("q_sim_search_lsh_raw", "q_sim_search_ivf_raw")
+
   test("queries and oracleSql cover the same entry names") {
     val q = SparkEntry.queries.keySet
     val o = SparkEntry.oracleSql.keySet
     assert((o -- q).isEmpty, s"oracles without a query: ${(o -- q).toSeq.sorted}")
-    assert((q -- o).isEmpty, s"queries without an oracle: ${(q -- o).toSeq.sorted}")
+    assert((q -- o -- rowsOnlyByDesign).isEmpty,
+      s"queries without an oracle: ${(q -- o -- rowsOnlyByDesign).toSeq.sorted}")
+    assert((rowsOnlyByDesign -- q).isEmpty, "rows-only allowlist names a missing query")
   }
 
   test("oracle SQL bodies are non-empty and single-statement") {
     // semicolons inside single-quoted literals (regex char classes etc.)
-    // are data; only a bare one would split the driver's single execute
+    // or behind `--` line comments are data; only a bare one would split
+    // the driver's single execute
     def bareSemicolon(sql: String): Boolean = {
+      val noComments = sql.linesIterator.map { line =>
+        var lit = false
+        val cut = line.indices.find { i =>
+          if (line(i) == '\'') { lit = !lit; false }
+          else !lit && line(i) == '-' && i + 1 < line.length && line(i + 1) == '-'
+        }
+        cut.map(line.substring(0, _)).getOrElse(line)
+      }.mkString("\n")
       var lit = false
-      sql.trim.stripSuffix(";").exists { c =>
+      noComments.trim.stripSuffix(";").exists { c =>
         if (c == '\'') { lit = !lit; false } else c == ';' && !lit
       }
     }

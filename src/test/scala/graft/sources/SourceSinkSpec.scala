@@ -54,6 +54,53 @@ class SourceSinkSpec extends SparkSpec {
     assert(TableSink.read(spark, dir).count() === 4)
   }
 
+  test("NULL partition key lands in __HIVE_DEFAULT_PARTITION__ and reads back as NULL") {
+    import spark.implicits._
+    val dir = tmp("sink_null")
+    val df = Seq((1, Some("x")), (2, None), (3, Some("y"))).toDF("id", "p")
+    TableSink.insertOverwrite(df, dir, Seq("p"))
+    // on-disk layout uses the Hive sentinel directory (insert_null.test)
+    val dirs = new java.io.File(dir).listFiles().filter(_.isDirectory).map(_.getName).toSet
+    assert(dirs.contains("p=__HIVE_DEFAULT_PARTITION__"), s"dirs=$dirs")
+    // and the scan resurfaces it as a NULL, not the sentinel string
+    val back = TableSink.read(spark, dir).collect()
+      .map(r => (r.getInt(0), Option(r.getString(1)))).toSet
+    assert(back === Set((1, Some("x")), (2, None), (3, Some("y"))))
+  }
+
+  test("mixed static+dynamic partition overwrite replaces only the static subtree") {
+    import spark.implicits._
+    val dir = tmp("sink_mixed")
+    val base = Seq((1, "s1", "a"), (2, "s1", "b"), (3, "s2", "a")).toDF("id", "st", "dy")
+    TableSink.insertOverwrite(base, dir, Seq("st", "dy"))
+    // PARTITION (st='s1', dy): only (s1, a) is in the incoming data, so
+    // (s1, b) and the whole s2 subtree survive
+    TableSink.insertOverwriteStaticDynamic(
+      Seq((9, "a")).toDF("id", "dy"), dir, Seq("st" -> "s1"), Seq("dy"))
+    val back = TableSink.read(spark, dir).collect()
+      .map(r => (r.getInt(0), r.getString(1), r.getString(2))).toSet
+    assert(back === Set((9, "s1", "a"), (2, "s1", "b"), (3, "s2", "a")))
+  }
+
+  test("INSERT targets non-parquet formats: CSV and JSON write/read roundtrip") {
+    import spark.implicits._
+    val df = Seq((1, "a|x", 1.5), (2, "b", 2.5)).toDF("id", "name", "score")
+    val csvDir = tmp("sink_csv")
+    // '|' row format with quoting — the reference text-table sink surface
+    TableSink.insertOverwrite(df, csvDir, format = "csv",
+      options = Map("delimiter" -> "|", "header" -> "true", "quote" -> "\""))
+    val csvBack = TableSink.read(spark, csvDir, "csv",
+      Map("delimiter" -> "|", "header" -> "true", "inferSchema" -> "true"))
+    assert(csvBack.orderBy("id").collect().map(r => (r.getInt(0), r.getString(1), r.getDouble(2))).toSeq
+      === Seq((1, "a|x", 1.5), (2, "b", 2.5)))
+    val jsonDir = tmp("sink_json")
+    TableSink.insertInto(df, jsonDir, format = "json")
+    val jsonBack = TableSink.read(spark, jsonDir, "json")
+      .select("id", "name", "score")
+    assert(jsonBack.orderBy("id").collect().map(r => (r.getLong(0), r.getString(1), r.getDouble(2))).toSeq
+      === Seq((1L, "a|x", 1.5), (2L, "b", 2.5)))
+  }
+
   test("CREATE TABLE LIKE PARQUET lifts the footer schema; COMPUTE STATS runs") {
     import spark.implicits._
     val dir = tmp("like_parquet")
