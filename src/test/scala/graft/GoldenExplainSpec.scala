@@ -1,0 +1,62 @@
+package graft
+
+/** Golden EXPLAIN shapes (reference: explain-level{0..3}.test pins the
+  * rendered plan per level). Two things are pinned here:
+  *
+  *  1. the LEVEL CONTRACT — each of the four levels exposes the sections
+  *     the reference's corresponding level does (minimal physical plan →
+  *     full logical history → costs → formatted operator list);
+  *  2. the POSITIVE PLAN SHAPE for the flagship join (q3_join), making
+  *     the PLANS_r*.md audits executable: both dimension joins broadcast,
+  *     predicates reach the parquet scan, the ORDER BY+LIMIT is a TopN
+  *     (not a global sort), and the aggregation's shuffle is the ONLY
+  *     hash-partitioned exchange. A regression that drops a broadcast,
+  *     un-pushes a filter, or sneaks in an extra shuffle fails here
+  *     instead of waiting for a manual audit. */
+class GoldenExplainSpec extends SparkSpec {
+
+  private lazy val q3 = queries.Joins.q3Join(spark, "/root/testdata/sf0.001")
+
+  test("level 0 is the minimal physical plan") {
+    val s = Options.explain(q3, 0)
+    assert(s.contains("== Physical Plan =="))
+    assert(!s.contains("== Optimized Logical Plan =="), "level 0 must stay minimal")
+  }
+
+  test("level 1 adds the full logical plan history") {
+    val s = Options.explain(q3, 1)
+    for (section <- Seq("== Parsed Logical Plan ==", "== Analyzed Logical Plan ==",
+        "== Optimized Logical Plan ==", "== Physical Plan =="))
+      assert(s.contains(section), s"missing $section")
+  }
+
+  test("level 2 carries cost statistics") {
+    val s = Options.explain(q3, 2)
+    assert(s.contains("Statistics("), "cost mode must render stats")
+  }
+
+  test("level 3 is the formatted operator list with per-operator detail") {
+    val s = Options.explain(q3, 3)
+    assert(s.contains("(1) Scan parquet"), "formatted mode numbers operators")
+    // per-operator detail sections (codegen ids only materialize once AQE
+    // finalizes the plan, so the pre-execution golden pins Output/Arguments)
+    assert(s.contains("Output [") && s.contains("Arguments:"),
+      "formatted mode must render the per-operator detail blocks")
+  }
+
+  test("q3_join physical shape: broadcasts, pushdown, TopN, single shuffle") {
+    val s = Options.explain(q3, 0)
+    assert("BroadcastHashJoin".r.findAllIn(s).size === 2,
+      "both dimension joins must broadcast (orders, customer builds)")
+    assert(!s.contains("SortMergeJoin") && !s.contains("CartesianProduct"))
+    // the shipdate range predicate reaches the lineitem parquet scan
+    assert(s.contains("PushedFilters: [IsNotNull(l_shipdate), GreaterThan(l_shipdate"),
+      "lineitem filter must be pushed to the scan")
+    // ORDER BY + LIMIT plans as TopN, never a global sort
+    assert(s.contains("TakeOrderedAndProject"))
+    assert(!s.contains("Sort ["), "no global sort may appear")
+    // the grouped aggregation is the only hash-partitioned exchange
+    assert("Exchange hashpartitioning".r.findAllIn(s).size === 1,
+      "exactly one shuffle: the aggregation")
+  }
+}
