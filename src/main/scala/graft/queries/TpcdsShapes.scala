@@ -233,6 +233,117 @@ $buckets
 $blocks"""
   }
 
+  /** TPC-DS Q6 shape: star join filtered by a CORRELATED average
+    * subquery (price > 1.02 × category average) plus an uncorrelated
+    * scalar subquery, HAVING on the count, ORDER BY cnt LIMIT. The
+    * correlated average is exact-decimal-summed then surfaced as one
+    * double division, so both engines filter on bit-identical
+    * thresholds (never a raw double AVG — accumulation order would make
+    * the >-boundary engine-dependent). */
+  def qDs6CorrAvg(spark: SparkSession, dir: String): DataFrame =
+    run(spark, dir, qDs6CorrAvgSql)
+
+  val qDs6CorrAvgSql: String = """
+    SELECT * FROM (
+      SELECT n_name AS state, COUNT(*) AS cnt
+      FROM customer c, orders o, lineitem l, part p, nation n
+      WHERE c.c_custkey = o.o_custkey AND o.o_orderkey = l.l_orderkey
+        AND l.l_partkey = p.p_partkey AND c.c_nationkey = n.n_nationkey
+        AND year(o_orderdate) =
+              (SELECT DISTINCT year(o_orderdate) FROM orders WHERE year(o_orderdate) = 1997)
+        AND p.p_retailprice > 1.005 *
+              (SELECT CAST(CAST(SUM(CAST(j.p_retailprice AS DECIMAL(28,2))) AS STRING) AS DOUBLE)
+                        / COUNT(*)
+               FROM part j WHERE j.p_type = p.p_type)
+      GROUP BY n_name
+      HAVING COUNT(*) >= 10
+      ORDER BY cnt, state
+      LIMIT 100) t"""
+
+  /** TPC-DS Q59 shape: period-over-period comparison — a pivoted CTE
+    * (per-period per-store bucket sums) self-joined across two years,
+    * emitting bucket ratios. Ratios divide two string-routed doubles, so
+    * NULL buckets propagate and the quotients are engine-identical. */
+  def qDs59Weekly(spark: SparkSession, dir: String): DataFrame =
+    run(spark, dir, qDs59WeeklySql)
+
+  val qDs59WeeklySql: String = """
+    WITH mss AS (
+      SELECT year(o_orderdate) AS yr, month(o_orderdate) AS moy, l_suppkey,
+             SUM(CASE WHEN o_orderstatus = 'F' THEN CAST(l_extendedprice AS DECIMAL(28,4)) END) AS f_sales,
+             SUM(CASE WHEN o_orderstatus = 'O' THEN CAST(l_extendedprice AS DECIMAL(28,4)) END) AS o_sales,
+             SUM(CASE WHEN o_orderstatus = 'P' THEN CAST(l_extendedprice AS DECIMAL(28,4)) END) AS p_sales
+      FROM lineitem, orders
+      WHERE l_orderkey = o_orderkey
+      GROUP BY year(o_orderdate), month(o_orderdate), l_suppkey)
+    SELECT y1.l_suppkey AS supp, y1.moy AS moy,
+           CAST(CAST(y1.f_sales AS STRING) AS DOUBLE) / CAST(CAST(y2.f_sales AS STRING) AS DOUBLE) AS f_ratio,
+           CAST(CAST(y1.o_sales AS STRING) AS DOUBLE) / CAST(CAST(y2.o_sales AS STRING) AS DOUBLE) AS o_ratio,
+           CAST(CAST(y1.p_sales AS STRING) AS DOUBLE) / CAST(CAST(y2.p_sales AS STRING) AS DOUBLE) AS p_ratio
+    FROM mss y1 JOIN mss y2
+      ON y1.l_suppkey = y2.l_suppkey AND y1.moy = y2.moy
+    WHERE y1.yr = 1998 AND y2.yr = 1997
+    ORDER BY supp, moy
+    LIMIT 100"""
+
+  /** TPC-DS Q65 shape: two-level aggregate — per-(store,item) revenue,
+    * per-store average of those revenues, then the low sellers
+    * (revenue ≤ 0.1 × store average) joined back to both dimensions.
+    * Both comparison sides are string-routed doubles from exact decimal
+    * sums, so the ≤-boundary is engine-identical. */
+  def qDs65MinAvg(spark: SparkSession, dir: String): DataFrame =
+    run(spark, dir, qDs65MinAvgSql)
+
+  val qDs65MinAvgSql: String = """
+    WITH sa AS (
+      SELECT l_suppkey, l_partkey,
+             SUM(CAST(l_extendedprice AS DECIMAL(28,4))) AS revenue
+      FROM lineitem, orders
+      WHERE l_orderkey = o_orderkey AND year(o_orderdate) = 1998
+      GROUP BY l_suppkey, l_partkey),
+    sb AS (
+      SELECT l_suppkey,
+             CAST(CAST(SUM(revenue) AS STRING) AS DOUBLE) / COUNT(*) AS ave
+      FROM sa GROUP BY l_suppkey)
+    SELECT s_name, p_name,
+           CAST(CAST(sa.revenue AS STRING) AS DOUBLE) AS revenue,
+           sb.ave
+    FROM supplier, part, sa, sb
+    WHERE sa.l_suppkey = sb.l_suppkey
+      AND sa.l_suppkey = s_suppkey AND sa.l_partkey = p_partkey
+      AND CAST(CAST(sa.revenue AS STRING) AS DOUBLE) <= 0.1 * sb.ave
+    ORDER BY s_name, p_name
+    LIMIT 100"""
+
+  /** TPC-DS Q89 shape: window deviation screen — grouped star join with
+    * an OR-of-IN-pairs dimension filter, month sales vs the
+    * avg-over-(brand,store) window, keep rows deviating >10%, ORDER BY
+    * the deviation. Same exact-sum / window-count discipline as Q47. */
+  def qDs89WindowDev(spark: SparkSession, dir: String): DataFrame =
+    run(spark, dir, qDs89WindowDevSql)
+
+  val qDs89WindowDevSql: String = """
+    SELECT * FROM (
+      SELECT p_type, p_brand, s_name, d_moy,
+             CAST(CAST(sum_sales_dec AS STRING) AS DOUBLE) AS sum_sales,
+             CAST(CAST(SUM(sum_sales_dec) OVER (PARTITION BY p_brand, s_name) AS STRING) AS DOUBLE)
+               / COUNT(*) OVER (PARTITION BY p_brand, s_name) AS avg_monthly_sales
+      FROM (
+        SELECT p_type, p_brand, s_name, month(o_orderdate) AS d_moy,
+               SUM(CAST(l_extendedprice AS DECIMAL(28,4))) AS sum_sales_dec
+        FROM part, lineitem, orders, supplier
+        WHERE l_partkey = p_partkey AND l_orderkey = o_orderkey
+          AND l_suppkey = s_suppkey
+          AND year(o_orderdate) = 1998
+          AND ((p_type IN ('ECONOMY', 'LARGE') AND p_brand IN ('Brand#1', 'Brand#2', 'Brand#3'))
+            OR (p_type IN ('PROMO', 'STANDARD') AND p_brand IN ('Brand#4', 'Brand#5', 'Brand#6')))
+        GROUP BY p_type, p_brand, s_name, month(o_orderdate)) tmp1) tmp2
+    WHERE CASE WHEN avg_monthly_sales <> 0
+               THEN abs(sum_sales - avg_monthly_sales) / avg_monthly_sales
+               ELSE NULL END > 0.1
+    ORDER BY sum_sales - avg_monthly_sales, s_name, p_type, p_brand, d_moy
+    LIMIT 100"""
+
   /** TPC-DS Q98 shape: ratio-to-report — grouped revenue with a
     * SUM-over-class window in the denominator. */
   def qDs98Ratio(spark: SparkSession, dir: String): DataFrame =
