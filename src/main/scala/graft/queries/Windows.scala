@@ -81,8 +81,16 @@ object Windows {
     * Frame sums are decimal-exact then surfaced as double. */
   def qWindowFrames(spark: SparkSession, dir: String): DataFrame = {
     val li = Tables.load(spark, dir, "lineitem")
+    // (l_orderkey, l_linenumber) is NOT unique in the synthetic data, so
+    // l_linenumber alone leaves the frame order ambiguous — the result
+    // would then depend on scan order (caught by the 13-partition
+    // robustness sweep, r7). The extra keys make the order total: the
+    // full tuple is unique, so every frame is deterministic on any
+    // partitioning/cluster layout.
     val ord = Window.partitionBy(col("l_orderkey"))
-      .orderBy(col("l_linenumber").asc)
+      .orderBy(col("l_linenumber").asc, col("l_partkey").asc,
+        col("l_suppkey").asc, col("l_extendedprice").asc,
+        col("l_quantity").asc, col("l_discount").asc)
     val dec = col("l_extendedprice").cast("decimal(28,2)")
     li.filter(col("l_orderkey") <= 2000)
       .select(
@@ -143,6 +151,7 @@ object Windows {
            COUNT(*) OVER (w ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS running_n
     FROM lineitem
     WHERE l_orderkey <= 2000
-    WINDOW w AS (PARTITION BY l_orderkey ORDER BY l_linenumber ASC)
+    WINDOW w AS (PARTITION BY l_orderkey ORDER BY l_linenumber ASC, l_partkey ASC,
+                 l_suppkey ASC, l_extendedprice ASC, l_quantity ASC, l_discount ASC)
     ORDER BY l_orderkey, l_linenumber"""
 }
