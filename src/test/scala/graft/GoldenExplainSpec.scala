@@ -44,6 +44,25 @@ class GoldenExplainSpec extends SparkSpec {
       "formatted mode must render the per-operator detail blocks")
   }
 
+  test("TPC-DS star shape: both dims broadcast, range filter pushed AND propagated") {
+    val s = Options.explain(
+      queries.TpcdsShapes.qDs3Star(spark, "/root/testdata/sf0.001"), 0)
+    assert("BroadcastHashJoin".r.findAllIn(s).size === 2,
+      "orders and part must both broadcast against the lineitem fact")
+    assert(!s.contains("SortMergeJoin") && !s.contains("CartesianProduct"))
+    // the fact's orderkey-range OR filter reaches the lineitem scan...
+    assert(s.contains("PushedFilters: [Or(Or(And(GreaterThanOrEqual(l_orderkey,100)"),
+      "fact key-range filter must be pushed to the fact scan")
+    // ...and constraint propagation applies the same ranges to the orders
+    // dim scan through the join key (partition-pruning analogue)
+    assert(s.contains("Or(Or(And(GreaterThanOrEqual(o_orderkey,100)"),
+      "range filter must propagate to the joined dimension scan")
+    // column pruning: the fact reads exactly the 3 needed columns
+    assert(s.contains("ReadSchema: struct<l_orderkey:bigint,l_partkey:bigint,l_extendedprice:double>"))
+    assert("Exchange hashpartitioning".r.findAllIn(s).size === 1,
+      "exactly one shuffle: the aggregation")
+  }
+
   test("q3_join physical shape: broadcasts, pushdown, TopN, single shuffle") {
     val s = Options.explain(q3, 0)
     assert("BroadcastHashJoin".r.findAllIn(s).size === 2,
