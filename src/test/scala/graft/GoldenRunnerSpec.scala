@@ -98,4 +98,8 @@ class GoldenRunnerSpec extends SparkSpec {
   test("timestamp/interval corpus (reference timestamp shapes) matches") {
     runCorpus("/golden/timestamp.test")
   }
+
+  test("overflow/limits corpus (reference overflow.test shapes) matches") {
+    runCorpus("/golden/overflow.test")
+  }
 }
