@@ -125,6 +125,62 @@ object SourceSink {
     GROUP BY o_orderstatus
     ORDER BY o_orderstatus"""
 
+  /** Mixed-format table scan (reference QueryTest/mixed-format.test — one
+    * table with parquet/text/avro partitions read transparently): nation
+    * split by key into a parquet, a '|'-CSV and an Avro partition, read
+    * back through [[graft.sources.MixedFormat]] and aggregated. The
+    * oracle computes the same aggregate from the unsplit table, so any
+    * loss/corruption in any branch — or a bad partition-value attach —
+    * breaks the hash. */
+  def qMixedFormat(spark: SparkSession, dir: String): DataFrame = {
+    import graft.sources.MixedFormat
+    val nation = Tables.load(spark, dir, "nation")
+    val tag = dir.replaceAll("[^a-zA-Z0-9.]", "_")
+    val base = s"target/tmp/mixed_nation_$tag"
+    val slices = Seq("parquet", "csv", "avro").zipWithIndex
+    if (!new java.io.File(s"$base/_SUCCESS").exists()) {
+      slices.foreach { case (fmt, i) =>
+        val slice = nation.filter(col("n_nationkey") % 3 === i)
+          .select(col("n_nationkey"), col("n_name"), col("n_regionkey"))
+        fmt match {
+          case "parquet" => slice.write.mode("overwrite").parquet(s"$base/$fmt")
+          case "csv" => slice.write.mode("overwrite")
+            .options(Map("delimiter" -> "|")).csv(s"$base/$fmt")
+          case "avro" => graft.sources.AvroIO.write(slice, s"$base/$fmt")
+        }
+      }
+      new java.io.File(s"$base/_SUCCESS").createNewFile()
+    }
+    val dataSchema = org.apache.spark.sql.types.StructType.fromDDL(
+      "n_nationkey INT, n_name STRING, n_regionkey INT")
+    val partSchema = org.apache.spark.sql.types.StructType.fromDDL("fmt STRING")
+    val parts = slices.map { case (fmt, _) =>
+      MixedFormat.Part(s"$base/$fmt", fmt,
+        if (fmt == "csv") Map("delimiter" -> "|") else Map.empty,
+        Map("fmt" -> fmt))
+    }
+    MixedFormat.read(spark, parts, dataSchema, partSchema)
+      .groupBy(col("fmt"))
+      .agg(
+        count(lit(1)).as("n"),
+        sum(col("n_nationkey")).as("sum_key"),
+        min(col("n_name")).as("first_nation"),
+        countDistinct(col("n_regionkey")).as("n_regions"))
+      .orderBy(col("fmt"))
+  }
+
+  val qMixedFormatSql: String = """
+    SELECT CASE WHEN n_nationkey % 3 = 0 THEN 'parquet'
+                WHEN n_nationkey % 3 = 1 THEN 'csv'
+                ELSE 'avro' END AS fmt,
+           COUNT(*) AS n,
+           CAST(SUM(n_nationkey) AS BIGINT) AS sum_key,
+           MIN(n_name) AS first_nation,
+           COUNT(DISTINCT n_regionkey) AS n_regions
+    FROM nation
+    GROUP BY 1
+    ORDER BY fmt"""
+
   /** INSERT corner cases (reference QueryTest/insert.test, insert_null.test):
     * a NULL partition key must land in the `__HIVE_DEFAULT_PARTITION__`
     * directory and round-trip back as NULL, and a mixed static+dynamic
