@@ -31,15 +31,45 @@ object Formats {
     spark.read.schema(schema).option("mode", "PERMISSIVE").json(path)
 
   /** Read delimited text with Impala-style row-format options
-    * (field delimiter / escape char / header). */
+    * (field delimiter / escape char / header / NULL string — the
+    * reference's text tables render SQL NULL as `\N`, hive-serde
+    * compatible). */
   def readDelimited(
       spark: SparkSession, path: String, schema: StructType,
-      delimiter: String = ",", escape: String = "\\", header: Boolean = false): DataFrame =
+      delimiter: String = ",", escape: String = "\\", header: Boolean = false,
+      nullValue: String = "\\N"): DataFrame =
     spark.read.schema(schema)
       .option("sep", delimiter)
       .option("escape", escape)
       .option("header", header.toString)
+      .option("nullValue", nullValue)
       .csv(path)
+
+  /** Read UNQUOTED delimited text with Hive/Impala `ESCAPED BY` semantics
+    * (LazySimpleSerDe: no quoting — a backslash escapes the next char, so
+    * `a\|b` is one field containing `a|b`, and bare `\N` is SQL NULL).
+    * Spark's CSV reader only honors its escape char inside quotes, so this
+    * path parses lines with codegen'd string builtins instead: split on
+    * the un-escaped delimiter, strip the escapes, route the NULL string,
+    * cast to the declared schema. Limitation (documented): an escaped
+    * escape immediately before a delimiter (`a\\|b`) is treated as an
+    * escaped delimiter — the regex split is not a stateful scanner.
+    * Scale: one text scan + per-row projection, fully codegen'd. */
+  def readDelimitedUnquoted(
+      spark: SparkSession, path: String, schema: StructType,
+      delimiter: String = "|", escape: String = "\\",
+      nullValue: String = "\\N"): DataFrame = {
+    val d = java.util.regex.Pattern.quote(delimiter)
+    val e = java.util.regex.Pattern.quote(escape)
+    val fields = split(col("value"), s"(?<!$e)$d")
+    val cols = schema.fields.zipWithIndex.map { case (f, i) =>
+      val raw = element_at(fields, i + 1)
+      val unescaped = regexp_replace(raw, s"$e(.)", "$1")
+      when(raw === nullValue, lit(null)).otherwise(unescaped)
+        .cast(f.dataType).as(f.name)
+    }
+    spark.read.text(path).select(cols.toSeq: _*)
+  }
 
   /** Events table re-shaped as nested JSON records (user + props structs) —
     * the fixture generator for the JSON-scan path. Deterministic: derived

@@ -54,6 +54,45 @@ class SourceSinkSpec extends SparkSpec {
     assert(TableSink.read(spark, dir).count() === 4)
   }
 
+  test("unquoted delimited text: ESCAPED BY and \\N NULL-string semantics") {
+    val dir = tmp("delim_unquoted")
+    // reference text-scanner semantics (LazySimpleSerDe, no quoting):
+    // '|' fields, backslash escapes an embedded delimiter, bare \N is NULL
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(s"$dir/data.txt"),
+      "1|plain|1.5\n" +
+        "2|pipe\\|inside|2.5\n" +
+        "3|\\N|3.5\n")
+    val schema = StructType.fromDDL("id INT, name STRING, score DOUBLE")
+    val rows = Formats.readDelimitedUnquoted(spark, dir, schema,
+        delimiter = "|", escape = "\\")
+      .orderBy("id").collect()
+      .map(r => (r.getInt(0), Option(r.getString(1)), r.getDouble(2)))
+    assert(rows.toSeq === Seq(
+      (1, Some("plain"), 1.5),
+      (2, Some("pipe|inside"), 2.5),
+      (3, None, 3.5)))
+  }
+
+  test("quoted delimited text honors escape-in-quotes, NULL-string, and header") {
+    val dir = tmp("delim_opts")
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(s"$dir/data.csv"),
+      "id|name|score\n" +
+        "1|plain|1.5\n" +
+        "2|\"pipe|inside\"|2.5\n" +
+        "3|\\N|3.5\n")
+    val schema = StructType.fromDDL("id INT, name STRING, score DOUBLE")
+    val rows = Formats.readDelimited(spark, dir, schema,
+        delimiter = "|", escape = "\\", header = true)
+      .orderBy("id").collect()
+      .map(r => (r.getInt(0), Option(r.getString(1)), r.getDouble(2)))
+    assert(rows.toSeq === Seq(
+      (1, Some("plain"), 1.5),
+      (2, Some("pipe|inside"), 2.5),
+      (3, None, 3.5)))
+  }
+
   test("NULL partition key lands in __HIVE_DEFAULT_PARTITION__ and reads back as NULL") {
     import spark.implicits._
     val dir = tmp("sink_null")
