@@ -55,6 +55,22 @@ class UdfCachingSpec extends SparkSpec {
     }
   }
 
+  test("a throwing UDF fails the query with its error, not a silent NULL") {
+    // reference udf-errors.test: a UDF runtime error aborts the query and
+    // surfaces the message — it must never be swallowed into a NULL row
+    Udf.registerScalar1[Int, Int](spark, "boom_udf", x =>
+      if (x > 1) throw new IllegalStateException("boom: bad input") else x)
+    assert(sql1("boom_udf(1)") === 1)
+    val e = intercept[Exception] {
+      spark.sql("SELECT boom_udf(2)").collect()
+    }
+    def chain(t: Throwable): Seq[String] =
+      Iterator.iterate(t)(_.getCause).takeWhile(_ != null).take(10)
+        .map(x => Option(x.getMessage).getOrElse("")).toSeq
+    assert(chain(e).exists(_.contains("boom: bad input")),
+      s"error chain must carry the UDF message: ${chain(e)}")
+  }
+
   test("dfs_cache analogue: prepare warms the cache, progress reaches 1.0") {
     import scala.concurrent.ExecutionContext.Implicits.global
     import scala.concurrent.duration._
