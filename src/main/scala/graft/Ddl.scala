@@ -77,6 +77,11 @@ object Ddl {
   /** `SHOW TABLES [IN db]` passthrough. */
   def showTables(spark: SparkSession): DataFrame = spark.sql("SHOW TABLES")
 
+  /** `SHOW CREATE TABLE t` (ToSqlUtils.java in the reference FE): the
+    * re-creatable DDL text. */
+  def showCreateTable(spark: SparkSession, table: String): String =
+    spark.sql(s"SHOW CREATE TABLE $table").collect()(0).getString(0)
+
   /** `DESCRIBE [FORMATTED] t` passthrough. */
   def describe(spark: SparkSession, table: String, formatted: Boolean = false): DataFrame =
     spark.sql(s"DESCRIBE ${if (formatted) "FORMATTED " else ""}$table")

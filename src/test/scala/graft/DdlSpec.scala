@@ -102,6 +102,17 @@ class DdlSpec extends SparkSpec {
     spark.sql("DROP TABLE ddl_load_t")
   }
 
+  test("SHOW CREATE TABLE emits re-creatable DDL with schema and format") {
+    spark.sql("DROP TABLE IF EXISTS ddl_sct_t")
+    spark.sql("CREATE TABLE ddl_sct_t (k INT, v STRING) USING parquet PARTITIONED BY (p STRING)")
+    val ddl = Ddl.showCreateTable(spark, "ddl_sct_t")
+    assert(ddl.contains("CREATE TABLE") && ddl.contains("ddl_sct_t"))
+    assert(ddl.contains("k INT") && ddl.contains("v STRING"))
+    assert(ddl.toLowerCase.contains("parquet"))
+    assert(ddl.contains("PARTITIONED BY"))
+    spark.sql("DROP TABLE ddl_sct_t")
+  }
+
   test("partition spec parsing survives quoted commas/equals and NULL") {
     assert(Ddl.parsePartitionSpec("p1='a,b', p2=\"x=y\", p3=3, p4=NULL") ===
       Seq("p1" -> Some("a,b"), "p2" -> Some("x=y"), "p3" -> Some("3"), "p4" -> None))

@@ -93,6 +93,34 @@ class SourceSinkSpec extends SparkSpec {
       (3, None, 3.5)))
   }
 
+  test("ragged text rows: missing trailing columns read NULL, extra columns drop") {
+    // reference misc.test tblwithraggedcolumns: text rows shorter or wider
+    // than the declared schema must scan, never fail
+    val dir = tmp("ragged")
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(s"$dir/data.csv"),
+      "a,1\n" +
+        "NoTrailingColumn\n" +
+        "extra,2,surplus,columns\n")
+    val schema = StructType.fromDDL("s STRING, i INT")
+    val rows = Formats.readDelimited(spark, dir, schema, delimiter = ",")
+      .orderBy("s").collect().map(r => (r.getString(0), Option(r.get(1))))
+    assert(rows.toSeq === Seq(
+      ("NoTrailingColumn", None), ("a", Some(1)), ("extra", Some(2))))
+  }
+
+  test("parquet schema evolution: files with added columns merge; old files read NULL") {
+    import spark.implicits._
+    val dir = tmp("evolve")
+    Seq((1, "a")).toDF("id", "v").write.mode("append").parquet(dir)
+    Seq((2, "b", 9.5)).toDF("id", "v", "score").write.mode("append").parquet(dir)
+    val merged = spark.read.option("mergeSchema", "true").parquet(dir)
+    assert(merged.columns.sorted.toSeq === Seq("id", "score", "v"))
+    val rows = merged.orderBy("id").collect()
+      .map(r => (r.getInt(0), r.getString(1), Option(r.get(2))))
+    assert(rows.toSeq === Seq((1, "a", None), (2, "b", Some(9.5))))
+  }
+
   test("NULL partition key lands in __HIVE_DEFAULT_PARTITION__ and reads back as NULL") {
     import spark.implicits._
     val dir = tmp("sink_null")
