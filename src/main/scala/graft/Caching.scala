@@ -50,6 +50,15 @@ object Caching {
     }
   }
 
+  /** Cache residency statistics (cache-mgr.cc's space accounting):
+    * bytes of this dataset currently held in memory and on local disk.
+    * (0, 0) if `df` isn't cached or nothing has materialized yet. */
+  def stats(df: DataFrame): (Long, Long) = {
+    val ids = org.apache.spark.sql.graftcache.CacheIntrospect.cachedRddIds(df).toSet
+    val infos = df.sparkSession.sparkContext.getRDDStorageInfo.filter(i => ids(i.id))
+    (infos.map(_.memSize).sum, infos.map(_.diskSize).sum)
+  }
+
   /** Drop from the cache (uncache/evict). */
   def release(df: DataFrame): Unit = df.unpersist()
 }

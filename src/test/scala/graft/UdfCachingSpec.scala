@@ -80,10 +80,15 @@ class UdfCachingSpec extends SparkSpec {
       val n = scala.concurrent.Await.result(fut, 60.seconds)
       assert(n > 0)
       assert(Caching.progress(df) === 1.0)
+      // space accounting: a fully-warm cache holds real bytes; an
+      // uncached dataset reports zero residency
+      val (mem, disk) = Caching.stats(df)
+      assert(mem + disk > 0, "warm cache must report resident bytes")
       // progress is per-dataset: an uncached df must report 0 even while
       // another dataset is fully cached (regression: max-cached fallback)
       val other = Tables.load(spark, "/root/testdata/sf0.001", "orders")
       assert(Caching.progress(other) === 0.0)
+      assert(Caching.stats(other) === ((0L, 0L)))
     } finally Caching.release(df)
   }
 }
