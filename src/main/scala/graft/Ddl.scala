@@ -139,6 +139,40 @@ object Ddl {
       org.apache.spark.sql.types.StructType(dataCols).toDDL)
   }
 
+  /** `ALTER TABLE t CHANGE c c2 type` (metadata-only column rename /
+    * retype, the reference's AlterTableChangeColStmt): re-declares the
+    * external table with the renamed column. Same caveat as the
+    * reference on parquet: resolution is by NAME, so pre-rename files
+    * surface NULL for the renamed column — the rename is a catalog
+    * operation, not a data rewrite. */
+  def changeColumn(spark: SparkSession, table: String,
+      column: String, newColDdl: String): Unit = {
+    val fields = spark.table(table).schema.fields
+    require(fields.exists(_.name.equalsIgnoreCase(column)), s"no such column: $column")
+    val ident = spark.sessionState.sqlParser.parseTableIdentifier(table)
+    val meta = spark.sessionState.catalog.getTableMetadata(ident)
+    val dataCols = fields.filterNot(f => meta.partitionColumnNames.contains(f.name))
+    val newDdl = dataCols.map { f =>
+      if (f.name.equalsIgnoreCase(column)) newColDdl
+      else s"${f.name} ${f.dataType.catalogString}"
+    }.mkString(", ")
+    replaceColumns(spark, table, newDdl)
+  }
+
+  /** `ALTER TABLE t SET TBLPROPERTIES (...)` / `UNSET` passthroughs. */
+  def setTableProperties(spark: SparkSession, table: String,
+      props: Map[String, String]): Unit = {
+    val kv = props.map { case (k, v) =>
+      s"'${k.replace("'", "''")}'='${v.replace("'", "''")}'"
+    }.mkString(", ")
+    spark.sql(s"ALTER TABLE $table SET TBLPROPERTIES ($kv)")
+  }
+
+  def tableProperties(spark: SparkSession, table: String): Map[String, String] = {
+    val ident = spark.sessionState.sqlParser.parseTableIdentifier(table)
+    spark.sessionState.catalog.getTableMetadata(ident).properties
+  }
+
   /** `ALTER TABLE t ADD [IF NOT EXISTS] PARTITION (spec)` passthrough. */
   def addPartition(spark: SparkSession, table: String, spec: String,
       location: Option[String] = None): Unit =

@@ -102,6 +102,36 @@ class DdlSpec extends SparkSpec {
     spark.sql("DROP TABLE ddl_load_t")
   }
 
+  test("ALTER TABLE CHANGE renames a column (metadata-only, by-name caveat)") {
+    import spark.implicits._
+    val dir = tmpDir("ddl_change")
+    Seq((1, "a"), (2, "b")).toDF("k", "v").write.mode("overwrite").parquet(dir)
+    spark.sql("DROP TABLE IF EXISTS ddl_change_t")
+    spark.sql(s"CREATE TABLE ddl_change_t (k INT, v STRING) USING parquet LOCATION '$dir'")
+    Ddl.changeColumn(spark, "ddl_change_t", "v", "name STRING")
+    assert(spark.table("ddl_change_t").columns.toSeq === Seq("k", "name"))
+    // metadata-only: by-name parquet resolution means pre-rename files
+    // surface NULL under the new name (the reference's documented caveat)
+    val rows = spark.table("ddl_change_t").orderBy("k")
+      .collect().map(r => (r.getInt(0), Option(r.getString(1))))
+    assert(rows.toSeq === Seq((1, None), (2, None)))
+    // new writes use the new name and read back fully
+    spark.sql("INSERT INTO ddl_change_t VALUES (3, 'c')")
+    assert(spark.table("ddl_change_t").where("name = 'c'").count() === 1)
+    spark.sql("DROP TABLE ddl_change_t")
+  }
+
+  test("SET/UNSET table properties round-trip through the catalog") {
+    spark.sql("DROP TABLE IF EXISTS ddl_props_t")
+    spark.sql("CREATE TABLE ddl_props_t (k INT) USING parquet")
+    Ddl.setTableProperties(spark, "ddl_props_t",
+      Map("comment.owner" -> "graft", "quote'd" -> "va'lue"))
+    val props = Ddl.tableProperties(spark, "ddl_props_t")
+    assert(props.get("comment.owner").contains("graft"))
+    assert(props.get("quote'd").contains("va'lue"))
+    spark.sql("DROP TABLE ddl_props_t")
+  }
+
   test("SHOW CREATE TABLE emits re-creatable DDL with schema and format") {
     spark.sql("DROP TABLE IF EXISTS ddl_sct_t")
     spark.sql("CREATE TABLE ddl_sct_t (k INT, v STRING) USING parquet PARTITIONED BY (p STRING)")

@@ -102,4 +102,8 @@ class GoldenRunnerSpec extends SparkSpec {
   test("overflow/limits corpus (reference overflow.test shapes) matches") {
     runCorpus("/golden/overflow.test")
   }
+
+  test("WITH-clause corpus (reference with-clause.test shapes) matches") {
+    runCorpus("/golden/with_clause.test")
+  }
 }
