@@ -56,6 +56,32 @@ object TableSink {
     }
   }
 
+  /** `INSERT OVERWRITE t SELECT ... FROM t` — overwriting a table the
+    * query also reads. Spark rejects the direct form ("Cannot overwrite a
+    * path that is also being read from"); the reference handles it by
+    * writing to a staging directory and swapping on success
+    * (hdfs-table-sink's staging protocol), which is what this does:
+    * materialize the full result to `<path>__staging`, then replace the
+    * table directory. The swap only happens after the staged write
+    * commits, so a mid-query failure leaves the original data intact. */
+  def insertOverwriteFromSelf(df: DataFrame, path: String,
+      partitionBy: Seq[String] = Nil): Unit = {
+    val spark = df.sparkSession
+    val conf = spark.sessionState.newHadoopConf()
+    val target = new org.apache.hadoop.fs.Path(path)
+    val fs = target.getFileSystem(conf)
+    val staging = new org.apache.hadoop.fs.Path(path + "__staging")
+    fs.delete(staging, true)
+    try {
+      write(df, staging.toString, partitionBy, "overwrite", "parquet", Map.empty)
+      val old = new org.apache.hadoop.fs.Path(path + "__old")
+      fs.delete(old, true)
+      if (fs.exists(target)) require(fs.rename(target, old), s"could not stage out $target")
+      require(fs.rename(staging, target), s"could not swap staging into $target")
+      fs.delete(old, true)
+    } finally fs.delete(staging, true)
+  }
+
   private def write(df: DataFrame, path: String, partitionBy: Seq[String],
       mode: String, format: String, options: Map[String, String]): Unit = {
     val w0 = if (partitionBy.nonEmpty) {

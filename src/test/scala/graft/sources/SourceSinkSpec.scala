@@ -168,6 +168,29 @@ class SourceSinkSpec extends SparkSpec {
       === Seq((1L, "a|x", 1.5), (2L, "b", 2.5)))
   }
 
+  test("INSERT OVERWRITE from the same table stages then swaps (self-read overwrite)") {
+    import spark.implicits._
+    // the direct form is not merely rejected — Spark truncates the target
+    // BEFORE the read fails, destroying the data (witnessed on a scratch
+    // copy), which is exactly why the staged swap must exist
+    val scratch = tmp("sink_self_direct") + "/t"
+    Seq((9, 90)).toDF("id", "v").write.parquet(scratch)
+    intercept[Exception] {
+      TableSink.read(spark, scratch).withColumn("v", col("v") * 2)
+        .write.mode("overwrite").parquet(scratch)
+    }
+    val dir = tmp("sink_self") + "/t"
+    Seq((1, 10), (2, 20), (3, 30)).toDF("id", "v").write.parquet(dir)
+    val doubled = TableSink.read(spark, dir).withColumn("v", col("v") * 2)
+    TableSink.insertOverwriteFromSelf(doubled, dir)
+    val back = TableSink.read(spark, dir).orderBy("id")
+      .collect().map(r => (r.getInt(0), r.getInt(1)))
+    assert(back.toSeq === Seq((1, 20), (2, 40), (3, 60)))
+    // no staging/old residue
+    val parent = new java.io.File(dir).getParentFile.listFiles().map(_.getName).toSet
+    assert(parent === Set("t"), s"staging dirs must be cleaned: $parent")
+  }
+
   test("CREATE TABLE LIKE PARQUET lifts the footer schema; COMPUTE STATS runs") {
     import spark.implicits._
     val dir = tmp("like_parquet")
