@@ -30,6 +30,33 @@ class PlanHygieneSpec extends SparkSpec {
     "q_join_cross", "q_sim_search", "q_sim_search_lsh", "q_sim_search_ivf",
     "q_dedup_cosine", "q_ds88_multicount", "q_sim_search_ivf_raw")
 
+  /** Entries whose GLOBAL (unpartitioned) window is the design:
+    * q_sim_search_lsh / q_sim_search_ivf — annGatedExact's recall window
+    * runs over nQueries×k rows (≤30) by construction; the verdict scalar
+    * needs the whole frame. (These are also the only two hits in the
+    * whole catalog — verified by removing the allowlist.) */
+  private val allowedGlobalWindow = Set("q_sim_search_lsh", "q_sim_search_ivf")
+
+  test("no entry plans an unpartitioned window over an unbounded relation") {
+    val dir = "/root/testdata/sf0.001"
+    import org.apache.spark.sql.execution.window.WindowExec
+    val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap { case (name, fn) =>
+      if (allowedGlobalWindow(name)) Nil
+      else {
+        // sparkPlan, NOT executedPlan: AQE wraps the tree in an
+        // AdaptiveSparkPlanExec whose collect() sees only the wrapper
+        // node, which would make this check pass vacuously
+        val plan = fn(spark, dir).queryExecution.sparkPlan
+        val global = plan.collect {
+          case w: WindowExec if w.partitionSpec.isEmpty => w
+        }
+        if (global.nonEmpty) Seq(name) else Nil
+      }
+    }
+    assert(offenders.isEmpty,
+      s"single-partition windows (100 TB scale hazard): ${offenders.mkString(", ")}")
+  }
+
   test("no entry plans a cartesian product or an unexpected nested-loop join") {
     val dir = "/root/testdata/sf0.001"
     val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap { case (name, fn) =>
