@@ -151,6 +151,10 @@ object Ddl {
     require(fields.exists(_.name.equalsIgnoreCase(column)), s"no such column: $column")
     val ident = spark.sessionState.sqlParser.parseTableIdentifier(table)
     val meta = spark.sessionState.catalog.getTableMetadata(ident)
+    // partition columns are part of the directory layout — renaming one
+    // must be an error (the reference rejects it too), not a silent no-op
+    require(!meta.partitionColumnNames.exists(_.equalsIgnoreCase(column)),
+      s"cannot change a partition column: $column")
     val dataCols = fields.filterNot(f => meta.partitionColumnNames.contains(f.name))
     val newDdl = dataCols.map { f =>
       if (f.name.equalsIgnoreCase(column)) newColDdl

@@ -31,6 +31,16 @@ object Options {
   private def flip(v: String): String =
     if (v.equalsIgnoreCase("true") || v == "1") "false" else "true"
 
+  /** Spark conf value → Impala option value, per option (the inverse of
+    * `mapped`'s translation, so `SET` output echoes what the user set:
+    * after SET DISABLE_CODEGEN=true the codegen conf reads "false" but the
+    * option must print "true"; reader mode FAILFAST prints as
+    * ABORT_ON_ERROR=true). Identity where the translation is 1:1. */
+  private val unmapped: Map[String, String => String] = Map(
+    "DISABLE_CODEGEN" -> flip,
+    "ABORT_ON_ERROR" -> (v => if (v == "FAILFAST") "true" else "false")
+  )
+
   /** Apply `SET name=value`. Unknown/resource-only options are recorded
     * under a namespaced conf (visible, inert) like the reference records
     * them in its per-query options struct. */
@@ -40,6 +50,8 @@ object Options {
 
   def set(spark: SparkSession, name: String, value: String): Unit =
     if (name.equalsIgnoreCase("NUM_NODES")) {
+      // record the option value as typed so SET output can echo it
+      spark.conf.set("spark.graft.option.num_nodes", value)
       if (value == "0") {
         // 0 = "use all nodes" (the reference default): restore the
         // parallelism the session had before the first NUM_NODES override.
@@ -72,8 +84,11 @@ object Options {
     }
     val live = mapped.map { case (name, f) =>
       val (conf, _) = f("true")
-      name -> all.getOrElse(conf, "")
+      val raw = all.getOrElse(conf, "")
+      name -> (if (raw.isEmpty) raw else unmapped.getOrElse(name, identity[String] _)(raw))
     }.filter(_._2.nonEmpty)
+    // NUM_NODES rides the recorded namespace (set() records it as typed),
+    // so it surfaces like any other option once set — no value inference.
     recorded ++ live
   }
 

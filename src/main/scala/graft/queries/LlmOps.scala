@@ -673,15 +673,21 @@ object LlmOps {
     * this cache — that entry IS the minhash benchmark. The cached frame is
     * the same computation persisted, so Verify's rows are unchanged. */
   private val clusterCache =
-    scala.collection.concurrent.TrieMap[(Int, String), DataFrame]()
+    scala.collection.concurrent.TrieMap[(SparkSession, String), DataFrame]()
 
-  private def cachedClusters(spark: SparkSession, dir: String): DataFrame =
-    clusterCache.getOrElseUpdate((System.identityHashCode(spark), dir), {
+  private def cachedClusters(spark: SparkSession, dir: String): DataFrame = {
+    // Key by the session OBJECT (identity equality, strong ref) — an
+    // identity hash could be reused after a session is GC'd and serve a
+    // frame bound to a stopped context. Entries of stopped contexts are
+    // evicted on access so dead sessions don't pin persisted bookkeeping.
+    clusterCache.filterInPlace((k, _) => !k._1.sparkContext.isStopped)
+    clusterCache.getOrElseUpdate((spark, dir), {
       val docs = Tables.load(spark, dir, "documents")
       val c = Dedup.minhashClustersPortable(docs, "text", "doc_id").persist()
       c.count() // materialize now so the first caller pays the build once
       c
     })
+  }
 
   /** Leakage-safe split over the portable minhash clusters: split
     * membership hashes the cluster REPRESENTATIVE, so near-dups stay on

@@ -234,7 +234,7 @@ $blocks"""
   }
 
   /** TPC-DS Q6 shape: star join filtered by a CORRELATED average
-    * subquery (price > 1.02 × category average) plus an uncorrelated
+    * subquery (price > 1.005 × category average) plus an uncorrelated
     * scalar subquery, HAVING on the count, ORDER BY cnt LIMIT. The
     * correlated average is exact-decimal-summed then surfaced as one
     * double division, so both engines filter on bit-identical

@@ -63,7 +63,14 @@ object TableSink {
     * (hdfs-table-sink's staging protocol), which is what this does:
     * materialize the full result to `<path>__staging`, then replace the
     * table directory. The swap only happens after the staged write
-    * commits, so a mid-query failure leaves the original data intact. */
+    * commits, so a mid-query failure leaves the original data intact.
+    *
+    * Failure atomicity: if the staging→target swap fails after the
+    * original was staged out to `<path>__old`, the old data is renamed
+    * back into place before rethrowing, and the staging dir (the only
+    * copy of the new result at that point) is deleted only after a
+    * successful swap — a failed run can never leave the table path
+    * empty. */
   def insertOverwriteFromSelf(df: DataFrame, path: String,
       partitionBy: Seq[String] = Nil): Unit = {
     val spark = df.sparkSession
@@ -72,14 +79,23 @@ object TableSink {
     val fs = target.getFileSystem(conf)
     val staging = new org.apache.hadoop.fs.Path(path + "__staging")
     fs.delete(staging, true)
+    write(df, staging.toString, partitionBy, "overwrite", "parquet", Map.empty)
+    val old = new org.apache.hadoop.fs.Path(path + "__old")
+    fs.delete(old, true)
+    val stagedOut = fs.exists(target) && {
+      require(fs.rename(target, old), s"could not stage out $target"); true
+    }
     try {
-      write(df, staging.toString, partitionBy, "overwrite", "parquet", Map.empty)
-      val old = new org.apache.hadoop.fs.Path(path + "__old")
-      fs.delete(old, true)
-      if (fs.exists(target)) require(fs.rename(target, old), s"could not stage out $target")
       require(fs.rename(staging, target), s"could not swap staging into $target")
-      fs.delete(old, true)
-    } finally fs.delete(staging, true)
+    } catch {
+      case t: Throwable =>
+        // roll the original back into place; staging is left on disk for
+        // forensics rather than deleted (it may be the only good copy)
+        if (stagedOut && !fs.exists(target)) fs.rename(old, target)
+        throw t
+    }
+    fs.delete(old, true)
+    fs.delete(staging, true)
   }
 
   private def write(df: DataFrame, path: String, partitionBy: Seq[String],

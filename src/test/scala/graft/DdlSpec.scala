@@ -121,6 +121,25 @@ class DdlSpec extends SparkSpec {
     spark.sql("DROP TABLE ddl_change_t")
   }
 
+  test("ALTER TABLE CHANGE rejects partition columns instead of silently no-oping") {
+    import spark.implicits._
+    val dir = tmpDir("ddl_change_part")
+    Seq((1, "a", "x"), (2, "b", "y")).toDF("k", "v", "p")
+      .write.mode("overwrite").partitionBy("p").parquet(dir)
+    spark.sql("DROP TABLE IF EXISTS ddl_change_pt")
+    spark.sql(s"CREATE TABLE ddl_change_pt (k INT, v STRING) USING parquet " +
+      s"PARTITIONED BY (p STRING) LOCATION '$dir'")
+    spark.sql("MSCK REPAIR TABLE ddl_change_pt")
+    val e = intercept[IllegalArgumentException] {
+      Ddl.changeColumn(spark, "ddl_change_pt", "p", "p2 STRING")
+    }
+    assert(e.getMessage.contains("partition column"))
+    // the table survives untouched — the old guard dropped+recreated it
+    assert(spark.table("ddl_change_pt").columns.toSeq === Seq("k", "v", "p"))
+    assert(spark.table("ddl_change_pt").count() === 2)
+    spark.sql("DROP TABLE ddl_change_pt")
+  }
+
   test("SET/UNSET table properties round-trip through the catalog") {
     spark.sql("DROP TABLE IF EXISTS ddl_props_t")
     spark.sql("CREATE TABLE ddl_props_t (k INT) USING parquet")

@@ -25,6 +25,29 @@ class OptionsSpec extends SparkSpec {
     assert(!shown.keys.exists(_.startsWith("spark.sql.")))
   }
 
+  test("SET output echoes option values in the Impala domain, not raw Spark confs") {
+    Options.set(spark, "DISABLE_CODEGEN", "true")
+    Options.set(spark, "ABORT_ON_ERROR", "true")
+    Options.set(spark, "NUM_NODES", "4")
+    try {
+      val shown = Options.show(spark)
+      // the codegen conf reads "false" but the option the user set is true
+      assert(shown.get("DISABLE_CODEGEN").contains("true"))
+      // reader mode FAILFAST surfaces as the boolean the user typed
+      assert(shown.get("ABORT_ON_ERROR").contains("true"))
+      assert(shown.get("NUM_NODES").contains("4"))
+      Options.set(spark, "ABORT_ON_ERROR", "false")
+      assert(Options.show(spark).get("ABORT_ON_ERROR").contains("false"))
+      Options.set(spark, "NUM_NODES", "0")
+      // restored to the session default = the reference's 0 ("all nodes")
+      assert(Options.show(spark).get("NUM_NODES").contains("0"))
+    } finally {
+      Options.set(spark, "DISABLE_CODEGEN", "false")
+      Options.set(spark, "ABORT_ON_ERROR", "false")
+      Options.set(spark, "NUM_NODES", "0")
+    }
+  }
+
   test("NUM_NODES: 1 collapses shuffle parallelism, 0 restores the default") {
     val before = spark.conf.get("spark.sql.shuffle.partitions")
     Options.set(spark, "NUM_NODES", "1")
