@@ -59,6 +59,16 @@ class GoldenRunnerSpec extends SparkSpec {
     }
   }
 
+  test("TYPES splitter keeps generic and parameterized types whole") {
+    // regression (r6 ADVICE): a naive comma split would shred
+    // map<string,int> and decimal(10,2) into broken tokens
+    assert(splitTypes("bigint, map<string,int>, decimal(10,2)") ===
+      Seq("bigint", "map<string,int>", "decimal(10,2)"))
+    assert(splitTypes("array<struct<a:int,b:string>>, string") ===
+      Seq("array<struct<a:int,b:string>>", "string"))
+    assert(splitTypes("") === Seq.empty)
+  }
+
   test("golden corpus matches expected rows and types") {
     runCorpus("/golden/basic.test")
   }
