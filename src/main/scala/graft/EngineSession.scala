@@ -74,9 +74,13 @@ object EngineSession {
     * Fallback path for ADOPTED sessions only (extensions can't be added to
     * a live session): extraOptimizations run after
     * RewriteDistinctAggregates, so there a query with 2+ DISTINCT
-    * aggregates keeps exact semantics under APPX_COUNT_DISTINCT=true.
-    * Sessions built by [[build]] get the rule via injectOptimizerRule,
-    * which runs early enough to catch every COUNT(DISTINCT). */
+    * aggregates would keep exact semantics under APPX_COUNT_DISTINCT=true.
+    * [[sql]] closes that fork for the SQL surface by applying the rewrite
+    * to the analyzed plan; DataFrame-API queries with 2+ distinct
+    * aggregates on an adopted session remain exact (documented, and warned
+    * about by Options.set). Sessions built by [[build]] get the rule via
+    * injectOptimizerRule, which runs early enough to catch every
+    * COUNT(DISTINCT). */
   private def installRules(spark: SparkSession): Unit = {
     val existing = spark.experimental.extraOptimizations
     if (!existing.contains(graft.plans.AppxCountDistinctRewrite)) {
@@ -84,6 +88,17 @@ object EngineSession {
         existing :+ graft.plans.AppxCountDistinctRewrite
     }
   }
+
+  /** Sessions that came in through [[adopt]] (weak keys — tracking must
+    * not keep a stopped session alive). Their optimizer lacks the
+    * early-batch rewrite rule, so [[sql]] compensates. */
+  private val adoptedSessions =
+    java.util.Collections.synchronizedMap(
+      new java.util.WeakHashMap[SparkSession, java.lang.Boolean])
+
+  /** True if `spark` was handed to [[adopt]] rather than built here. */
+  def isAdopted(spark: SparkSession): Boolean =
+    adoptedSessions.containsKey(spark)
 
   /** Adopt an externally-created session (e.g. the driver's): apply the
     * dynamic confs and register the dialect functions, without restarting.
@@ -95,11 +110,27 @@ object EngineSession {
     }
     Dialect.registerAll(spark)
     installRules(spark)
+    adoptedSessions.put(spark, java.lang.Boolean.TRUE)
     spark
   }
 
   /** Run SQL in the engine's dialect: alias surface registered, Impala
-    * bracket plan-hints rewritten to Spark hints. */
-  def sql(spark: SparkSession, text: String): DataFrame =
-    spark.sql(Dialect.rewriteImpalaHints(text))
+    * bracket plan-hints rewritten to Spark hints.
+    *
+    * On ADOPTED sessions with APPX_COUNT_DISTINCT=true, the ndv rewrite is
+    * applied here to the ANALYZED plan — before the optimizer's
+    * RewriteDistinctAggregates can expand multi-distinct aggregates out of
+    * the fallback rule's reach — so SQL behaves identically on built and
+    * adopted sessions. */
+  def sql(spark: SparkSession, text: String): DataFrame = {
+    val df = spark.sql(Dialect.rewriteImpalaHints(text))
+    val appxOn = spark.conf
+      .getOption(plans.AppxCountDistinctRewrite.ConfKey).exists(_.toBoolean)
+    if (appxOn && isAdopted(spark)) {
+      val analyzed = df.queryExecution.analyzed
+      val rewritten = plans.AppxCountDistinctRewrite.rewrite(analyzed)
+      if (rewritten fastEquals analyzed) df
+      else org.apache.spark.sql.graftplan.PlanBridge.ofRows(spark, rewritten)
+    } else df
+  }
 }

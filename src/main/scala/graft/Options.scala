@@ -65,6 +65,17 @@ object Options {
     } else mapped.get(name.toUpperCase) match {
       case Some(f) =>
         val (k, v) = f(value)
+        // Adopted sessions lack the early-batch optimizer rule, so the ndv
+        // rewrite reaches DataFrame-API queries with 2+ DISTINCT aggregates
+        // only on built sessions (EngineSession.sql closes the fork for the
+        // SQL surface). Make the semantic split loud at SET time.
+        if (name.equalsIgnoreCase("APPX_COUNT_DISTINCT") &&
+            v.equalsIgnoreCase("true") && EngineSession.isAdopted(spark))
+          org.slf4j.LoggerFactory.getLogger(getClass).warn(
+            "APPX_COUNT_DISTINCT=true on an ADOPTED session: SQL run through " +
+            "EngineSession.sql gets the ndv rewrite, but DataFrame-API queries " +
+            "with 2+ DISTINCT aggregates keep exact semantics (the optimizer " +
+            "fallback runs after RewriteDistinctAggregates).")
         spark.conf.set(k, v)
       case None =>
         spark.conf.set(s"spark.graft.option.${name.toLowerCase}", value)

@@ -21,7 +21,14 @@ object AppxCountDistinctRewrite extends Rule[LogicalPlan] {
 
   override def apply(plan: LogicalPlan): LogicalPlan =
     if (!conf.getConfString(ConfKey, "false").toBoolean) plan
-    else plan transform {
+    else rewrite(plan)
+
+  /** The unconditional rewrite — also applied directly to ANALYZED plans
+    * on the adopted-session SQL path ([[graft.EngineSession.sql]]), where
+    * the optimizer-batch placement that makes the rule see multi-distinct
+    * aggregates intact is unavailable. */
+  def rewrite(plan: LogicalPlan): LogicalPlan =
+    plan transform {
       case agg: Aggregate =>
         agg.transformExpressions {
           case ae @ AggregateExpression(Count(Seq(child)), Complete, true, _, _) =>

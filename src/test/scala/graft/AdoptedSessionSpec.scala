@@ -1,0 +1,81 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.catalyst.expressions.aggregate.HyperLogLogPlusPlus
+import org.apache.spark.sql.graftplan.TestSessionBridge
+
+/** The APPX_COUNT_DISTINCT semantics fork between BUILT and ADOPTED
+  * sessions (VERDICT r7 §wrong-1): an adopted session's fallback rule runs
+  * after RewriteDistinctAggregates, so multi-distinct aggregates would
+  * silently stay exact. This spec pins all three adopted-path behaviors:
+  * single-distinct rewrites via the fallback, multi-distinct rewrites via
+  * EngineSession.sql's analyzed-plan pass, and raw spark.sql multi-distinct
+  * stays exact (the documented remainder of the fork). */
+class AdoptedSessionSpec extends SparkSpec {
+
+  private lazy val adopted = {
+    val bare = TestSessionBridge.bareSession(spark)
+    EngineSession.adopt(bare)
+  }
+
+  private def usesNdv(df: DataFrame): Boolean =
+    df.queryExecution.optimizedPlan.collectFirst {
+      case a: org.apache.spark.sql.catalyst.plans.logical.Aggregate
+          if a.aggregateExpressions.exists(_.exists {
+            case ae: org.apache.spark.sql.catalyst.expressions.aggregate.AggregateExpression =>
+              ae.aggregateFunction.isInstanceOf[HyperLogLogPlusPlus]
+            case _ => false
+          }) => a
+    }.nonEmpty
+
+  private def withAppx[A](body: => A): A = {
+    Options.set(adopted, "APPX_COUNT_DISTINCT", "true")
+    try body finally Options.set(adopted, "APPX_COUNT_DISTINCT", "false")
+  }
+
+  test("adopted session is tracked; built session is not") {
+    assert(EngineSession.isAdopted(adopted))
+    assert(!EngineSession.isAdopted(spark))
+  }
+
+  test("adopted session: single COUNT(DISTINCT) rewrites via the fallback rule") {
+    withAppx {
+      val df = adopted.sql(
+        "SELECT count(DISTINCT id) AS n FROM range(100)")
+      assert(usesNdv(df), "fallback extraOptimizations must catch single-distinct")
+      assert(df.collect()(0).getLong(0) > 0)
+    }
+  }
+
+  test("adopted session: multi-distinct through EngineSession.sql gets the rewrite") {
+    withAppx {
+      val sql = "SELECT count(DISTINCT id) AS a, count(DISTINCT id % 7) AS b FROM range(1000)"
+      // raw spark.sql on the adopted session: the fallback runs too late —
+      // RewriteDistinctAggregates has already expanded the aggregates.
+      // This exactness is the documented fork remainder; if a Spark upgrade
+      // ever changes rule ordering this assert flags it for re-audit.
+      assert(!usesNdv(adopted.sql(sql)), "raw adopted-session multi-distinct stays exact")
+      // the engine's SQL surface closes the fork on the analyzed plan
+      val viaEngine = EngineSession.sql(adopted, sql)
+      assert(usesNdv(viaEngine), "EngineSession.sql must apply the ndv rewrite")
+      val r = viaEngine.collect()(0)
+      assert(r.getLong(0) > 0 && r.getLong(1) > 0)
+    }
+  }
+
+  test("built session: multi-distinct rewrites regardless of entry point") {
+    Options.set(spark, "APPX_COUNT_DISTINCT", "true")
+    try {
+      val df = spark.sql(
+        "SELECT count(DISTINCT id) AS a, count(DISTINCT id % 7) AS b FROM range(1000)")
+      assert(usesNdv(df), "injected rule must see multi-distinct intact")
+    } finally Options.set(spark, "APPX_COUNT_DISTINCT", "false")
+  }
+
+  test("flag off: adopted session keeps exact semantics everywhere") {
+    val sql = "SELECT count(DISTINCT id) AS a FROM range(100)"
+    assert(!usesNdv(adopted.sql(sql)))
+    assert(!usesNdv(EngineSession.sql(adopted, sql)))
+    assert(EngineSession.sql(adopted, sql).collect()(0).getLong(0) === 100L)
+  }
+}
