@@ -8,6 +8,15 @@ import java.nio.file.{Files, Paths}
   *
   * Failures are recorded in a separate "failed" map and excluded from the
   * summed total — a broken query must not corrupt the headline metric.
+  *
+  * After the sweep, the N slowest entries (SPARK_GRAFT_ISOLATE_N, default
+  * 8) are re-timed in isolation and reported under "isolated" alongside
+  * their sweep numbers. Driver benches have ghosted three rounds running
+  * (r5 q18, r6 window cluster, r7 q_pack) — transient machine contention
+  * reading as plan regressions until triple re-runs adjudicated them by
+  * hand. The paired numbers make that adjudication automatic: an entry
+  * whose isolated time sits at its historical level while the sweep
+  * number spiked was contention, not a regression.
   */
 object Bench {
   def main(args: Array[String]): Unit = {
@@ -56,13 +65,28 @@ object Bench {
           failed(name) = Option(e.getMessage).getOrElse(e.getClass.getName).take(200)
       }
     }
+    // isolated re-timing of the sweep's slowest entries (best of 2 — the
+    // min is the contention-free estimate; the query is already warm)
+    val isolated = scala.collection.mutable.LinkedHashMap[String, Double]()
+    val nIso = sys.env.getOrElse("SPARK_GRAFT_ISOLATE_N", "8").toInt
+    times.toSeq.sortBy(-_._2).take(nIso).foreach { case (name, _) =>
+      val fn = SparkEntry.queries(name)
+      try {
+        isolated(name) = (1 to 2).map { _ =>
+          val t0 = System.nanoTime()
+          fn(spark, sfDir).write.format("noop").mode("overwrite").save()
+          (System.nanoTime() - t0) / 1e9
+        }.min
+      } catch { case _: Throwable => () } // sweep already recorded the failure mode
+    }
     val qs = times.map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }.mkString("{", ",", "}")
+    val iso = isolated.map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }.mkString("{", ",", "}")
     val fs = failed.map { case (k, v) => "\"" + k + "\":\"" + v.replaceAll("[\"\\\\\\n\\r\\t]", " ") + "\"" }
       .mkString("{", ",", "}")
     val total = times.values.sum
     val sf = sfDir.replaceAll(".*sf", "")
     val json =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$fs,"sf":$sf}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"isolated":$iso,"failed":$fs,"sf":$sf}"""
     Files.writeString(Paths.get("bench_result.json"), json + "\n")
     println(json)
     spark.stop()
