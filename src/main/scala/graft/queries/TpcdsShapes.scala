@@ -6,7 +6,7 @@ import graft.Tables
 
 /** TPC-DS shape battery — the star-schema / reporting / window-over-join
   * query patterns the reference ships as its TPC-DS suite
-  * (testdata/workloads/tpcds/queries/tpcds-q{3,19,27,34,42,43,46,47,88,98}.test),
+  * (testdata/workloads/tpcds/queries/tpcds-q*.test),
   * re-targeted at the synthetic TPC-H-ish tables. The STRUCTURE is what is
   * ported — multi-dimension star joins with selective dim filters and fact
   * key-range pruning, ROLLUP reporting, count-HAVING-join-back, monthly
@@ -15,6 +15,17 @@ import graft.Tables
   * Role mapping: lineitem=store_sales (fact), orders=date_dim (o_orderdate),
   * part=item, supplier=store, customer(+nation)=customer(+address/demo),
   * events=store_sales×time_dim for the hour-band shapes.
+  *
+  * Reference file coverage (25 query files): 17 carry structurally
+  * distinct plans and are shaped below — q3, q6, q7, q8, q19, q27, q34,
+  * q42, q43, q46, q47, q59, q61, q65, q88, q89, q98. The remaining 8 are
+  * family variants of those and add no new plan structure:
+  *   q52, q55 ≈ q42 (same single-dim report; q55 drops the year column),
+  *   q53, q63 ≈ q89 (same window-deviation screen, different dim filter),
+  *   q68 ≈ q46 (same bought-vs-home derived join; different measures),
+  *   q73 ≈ q34 (same count-band join-back, tighter HAVING band),
+  *   q79 ≈ q46/q34 hybrid (per-ticket derived aggregate join-back),
+  *   q96 ≈ q88 (one hour-band scalar count instead of eight).
   *
   * All entries are single portable SQL strings shared verbatim with the
   * DuckDB oracle; double-valued aggregates go through the
@@ -348,7 +359,6 @@ $blocks"""
     * SUM-over-class window in the denominator. */
   def qDs98Ratio(spark: SparkSession, dir: String): DataFrame =
     run(spark, dir, qDs98RatioSql)
-
   val qDs98RatioSql: String = """
     WITH agg AS (
       SELECT p_type, p_brand,
@@ -364,4 +374,110 @@ $blocks"""
              CAST(CAST(SUM(itemrevenue) OVER (PARTITION BY p_type) AS STRING) AS DOUBLE) AS revenueratio
     FROM agg
     ORDER BY p_type, revenueratio, p_brand"""
+
+  /** TPC-DS Q7 shape (tpcds-q7.test): 4-dimension star — date, item,
+    * customer DEMOGRAPHICS (two equality filters play cd_gender /
+    * cd_marital_status) and a PROMOTION dim with an OR-of-attributes
+    * filter (p_channel_email='N' OR p_channel_event='N' → the supplier
+    * OR below) — plus the fact partition-key range filter, four averaged
+    * measures, GROUP/ORDER BY the item id. Distinct from the Q27 shape:
+    * plain GROUP BY (no ROLLUP) and the OR-filtered fourth dimension. */
+  def qDs7DemoStar(spark: SparkSession, dir: String): DataFrame =
+    run(spark, dir, qDs7DemoStarSql)
+
+  val qDs7DemoStarSql: String = """
+    SELECT p_name AS item_id,
+           CAST(CAST(SUM(CAST(l_quantity AS DECIMAL(28,4))) AS STRING) AS DOUBLE) / COUNT(*) AS agg1,
+           CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(28,4))) AS STRING) AS DOUBLE) / COUNT(*) AS agg2,
+           CAST(CAST(SUM(CAST(l_discount AS DECIMAL(28,6))) AS STRING) AS DOUBLE) / COUNT(*) AS agg3,
+           CAST(CAST(SUM(CAST(l_tax AS DECIMAL(28,6))) AS STRING) AS DOUBLE) / COUNT(*) AS agg4
+    FROM lineitem, orders, customer, part, supplier
+    WHERE l_orderkey = o_orderkey
+      AND l_partkey = p_partkey
+      AND o_custkey = c_custkey
+      AND l_suppkey = s_suppkey
+      AND c_mktsegment = 'BUILDING'
+      AND c_acctbal > 0
+      AND (s_acctbal < 5000 OR s_nationkey < 13)
+      AND year(o_orderdate) = 1998
+      AND l_orderkey BETWEEN 1000 AND 12000
+    GROUP BY p_name
+    ORDER BY item_id
+    LIMIT 100"""
+
+  /** TPC-DS Q8 shape (tpcds-q8.test): the store dimension is filtered by
+    * a zip-prefix semi-join between TWO derived zip sets — zips whose
+    * preferred-customer count clears a HAVING bar, intersected with a
+    * literal zip IN-list — and the surviving zips reach the store on a
+    * SHORTER prefix (reference: substr(s_zip,1,2) = substr(ca_zip,1,2)).
+    * Nation-name digits play the zip; the semi-join is spelled IN
+    * (portable to the oracle — the reference's LEFT SEMI JOIN is the
+    * same plan). */
+  def qDs8ZipSemi(spark: SparkSession, dir: String): DataFrame =
+    run(spark, dir, qDs8ZipSemiSql)
+
+  val qDs8ZipSemiSql: String = """
+    SELECT s_name,
+           CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(28,4))) AS STRING) AS DOUBLE) AS net_sales
+    FROM lineitem
+    JOIN supplier ON l_suppkey = s_suppkey
+    JOIN nation sn ON s_nationkey = sn.n_nationkey
+    JOIN (
+      SELECT a.zip FROM (
+        SELECT substr(n_name, 8, 2) AS zip, COUNT(*) AS cnt
+        FROM nation JOIN customer ON c_nationkey = n_nationkey
+        WHERE c_mktsegment = 'BUILDING'
+        GROUP BY substr(n_name, 8, 2)
+        HAVING COUNT(*) > 3
+      ) a
+      WHERE a.zip IN (
+        SELECT substr(n_name, 8, 2) FROM nation
+        WHERE substr(n_name, 8, 2) IN
+          ('1','3','5','7','9','11','13','15','17','19','21','23'))
+    ) v1 ON substr(sn.n_name, 8, 1) = substr(v1.zip, 1, 1)
+    JOIN orders ON l_orderkey = o_orderkey
+    WHERE year(o_orderdate) = 1998 AND month(o_orderdate) BETWEEN 1 AND 3
+    GROUP BY s_name
+    ORDER BY s_name
+    LIMIT 100"""
+
+  /** TPC-DS Q61 shape (tpcds-q61.test): promo-to-total ratio of two
+    * SINGLE-ROW aggregate blocks over the same 6-table star (customer
+    * address gmt → customer nation region, store gmt → supplier nation
+    * region, item category → p_type), the promotional block adding the
+    * channel-OR filter (order priority here). The blocks cross-join —
+    * 1×1 rows by construction — and the ratio divides two string-routed
+    * doubles so the quotient is engine-identical. */
+  def qDs61PromoRatio(spark: SparkSession, dir: String): DataFrame =
+    run(spark, dir, qDs61PromoRatioSql)
+
+  val qDs61PromoRatioSql: String = """
+    SELECT promotions, total,
+           promotions / total * 100 AS promo_pct
+    FROM (
+      SELECT CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(28,4))) AS STRING) AS DOUBLE) AS promotions
+      FROM lineitem, orders, customer, nation cn, supplier, nation sn, part
+      WHERE l_orderkey = o_orderkey
+        AND o_custkey = c_custkey AND c_nationkey = cn.n_nationkey
+        AND l_suppkey = s_suppkey AND s_nationkey = sn.n_nationkey
+        AND l_partkey = p_partkey
+        AND cn.n_regionkey = 2
+        AND sn.n_regionkey = 2
+        AND p_type = 'ECONOMY'
+        AND o_orderpriority IN ('1-URGENT', '2-HIGH')
+        AND year(o_orderdate) = 2000
+    ) promotional_sales, (
+      SELECT CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(28,4))) AS STRING) AS DOUBLE) AS total
+      FROM lineitem, orders, customer, nation cn, supplier, nation sn, part
+      WHERE l_orderkey = o_orderkey
+        AND o_custkey = c_custkey AND c_nationkey = cn.n_nationkey
+        AND l_suppkey = s_suppkey AND s_nationkey = sn.n_nationkey
+        AND l_partkey = p_partkey
+        AND cn.n_regionkey = 2
+        AND sn.n_regionkey = 2
+        AND p_type = 'ECONOMY'
+        AND year(o_orderdate) = 2000
+    ) all_sales
+    ORDER BY promotions, total"""
+
 }

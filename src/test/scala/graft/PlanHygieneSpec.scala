@@ -23,12 +23,15 @@ class PlanHygieneSpec extends SparkSpec {
     *   caller (the production path is the LSH bucket equi-join);
     * - q_ds88_multicount: TPC-DS q88's documented shape — eight 1-row
     *   scalar-count blocks cross-joined, bounded by construction;
+    * - q_ds61_promo_ratio: TPC-DS q61's documented shape — TWO 1-row
+    *   scalar-sum blocks cross-joined for the promo/total ratio;
     * - q_sim_search_ivf_raw: the probe step ranks every query against the
     *   broadcast CENTROID table (nCentroids=32 rows) — the nested loop's
     *   build side is the centroid count, never the corpus. */
   private val allowedNestedLoop = Set(
     "q_join_cross", "q_sim_search", "q_sim_search_lsh", "q_sim_search_ivf",
-    "q_dedup_cosine", "q_ds88_multicount", "q_sim_search_ivf_raw")
+    "q_dedup_cosine", "q_ds88_multicount", "q_ds61_promo_ratio",
+    "q_sim_search_ivf_raw")
 
   /** Entries whose GLOBAL (unpartitioned) window is the design:
     * q_sim_search_lsh / q_sim_search_ivf — annGatedExact's recall window
