@@ -63,6 +63,60 @@ class GoldenExplainSpec extends SparkSpec {
       "exactly one shuffle: the aggregation")
   }
 
+  // ---- rewrite-family pins (reference PlannerTest parity: -------------
+  // predicate-propagation.test / subquery-rewrite.test / analytic-fns.test)
+
+  test("predicate propagation: dim key range reaches the fact scan through the join") {
+    // reference predicate-propagation.test: a predicate on one side of a
+    // join equivalence class must be derived for the other side. The DS3
+    // pin covers fact→dim; this pins dim→fact.
+    Tables.ensureViews(spark, "/root/testdata/sf0.001")
+    val s = Options.explain(spark.sql(
+      """SELECT count(*) AS n
+         FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+         WHERE o_orderkey BETWEEN 100 AND 200"""), 0)
+    assert(s.contains("GreaterThanOrEqual(l_orderkey,100)") &&
+      s.contains("LessThanOrEqual(l_orderkey,200)"),
+      "orders' key range must be derived for lineitem and pushed to its scan")
+  }
+
+  test("subquery decorrelation: EXISTS/NOT EXISTS plan as semi/anti joins, no nested loop") {
+    // reference subquery-rewrite.test: correlated subqueries must rewrite
+    // to joins. q4 = correlated EXISTS; q21 = EXISTS + NOT EXISTS pair.
+    val q4 = Options.explain(
+      queries.TpchShapes.q4Exists(spark, "/root/testdata/sf0.001"), 0)
+    assert(q4.contains("LeftSemi"), "correlated EXISTS must plan as a semi join")
+    val q21 = Options.explain(
+      queries.TpchShapes2.q21WaitingSupplier(spark, "/root/testdata/sf0.001"), 0)
+    assert(q21.contains("LeftSemi"), "EXISTS must plan as a semi join")
+    assert(q21.contains("LeftAnti"), "NOT EXISTS must plan as an anti join")
+    for (s <- Seq(q4, q21)) {
+      assert(!s.contains("BroadcastNestedLoopJoin") && !s.contains("CartesianProduct"),
+        "decorrelation must never fall back to a nested-loop/cartesian plan")
+    }
+  }
+
+  test("analytic coalescing: same-spec window functions share one sort and shuffle") {
+    // reference analytic-fns.test: multiple analytic functions over one
+    // (partition, order) spec must evaluate in a single sort group.
+    Tables.ensureViews(spark, "/root/testdata/sf0.001")
+    val s = Options.explain(spark.sql(
+      """SELECT l_orderkey, l_linenumber,
+                RANK() OVER (PARTITION BY l_returnflag
+                             ORDER BY l_shipdate, l_orderkey, l_linenumber) AS rnk,
+                LAG(l_quantity, 1) OVER (PARTITION BY l_returnflag
+                             ORDER BY l_shipdate, l_orderkey, l_linenumber) AS prev_qty,
+                SUM(l_extendedprice) OVER (PARTITION BY l_returnflag
+                             ORDER BY l_shipdate, l_orderkey, l_linenumber) AS run_sum
+         FROM lineitem"""), 0)
+    assert("Window ".r.findAllIn(s).size === 1,
+      "three same-spec analytic functions must share ONE Window operator")
+    assert("Sort ".r.findAllIn(s).size === 1,
+      "the shared window spec must sort exactly once")
+    assert("Exchange hashpartitioning".r.findAllIn(s).size === 1,
+      "one partitioning exchange serves the whole analytic group")
+  }
+
   test("q3_join physical shape: broadcasts, pushdown, TopN, single shuffle") {
     val s = Options.explain(q3, 0)
     assert("BroadcastHashJoin".r.findAllIn(s).size === 2,
