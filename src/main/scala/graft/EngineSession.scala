@@ -61,6 +61,7 @@ object EngineSession {
       .config("spark.ui.enabled", "false")
     staticConfs.foreach { case (k, v) => b.config(k, v) }
     val spark = b.getOrCreate()
+    builtSessions.put(spark, java.lang.Boolean.TRUE)
     spark.sparkContext.setLogLevel("WARN")
     Dialect.registerAll(spark)
     installRules(spark)
@@ -89,14 +90,22 @@ object EngineSession {
     }
   }
 
-  /** Sessions that came in through [[adopt]] (weak keys — tracking must
-    * not keep a stopped session alive). Their optimizer lacks the
-    * early-batch rewrite rule, so [[sql]] compensates. */
+  /** Sessions [[build]] produced (weak keys — tracking must not keep a
+    * stopped session alive). They carry the injected early-batch rule, so
+    * [[adopt]] never demotes them to the adopted compensation path even
+    * though every SparkEntry catalog wrapper routes through adopt(). */
+  private val builtSessions =
+    java.util.Collections.synchronizedMap(
+      new java.util.WeakHashMap[SparkSession, java.lang.Boolean])
+
+  /** Sessions that came in through [[adopt]] without the injected rule.
+    * Their optimizer lacks the early-batch rewrite, so [[sql]]
+    * compensates. */
   private val adoptedSessions =
     java.util.Collections.synchronizedMap(
       new java.util.WeakHashMap[SparkSession, java.lang.Boolean])
 
-  /** True if `spark` was handed to [[adopt]] rather than built here. */
+  /** True if `spark` was handed to [[adopt]] and lacks the injected rule. */
   def isAdopted(spark: SparkSession): Boolean =
     adoptedSessions.containsKey(spark)
 
@@ -110,7 +119,8 @@ object EngineSession {
     }
     Dialect.registerAll(spark)
     installRules(spark)
-    adoptedSessions.put(spark, java.lang.Boolean.TRUE)
+    if (!builtSessions.containsKey(spark))
+      adoptedSessions.put(spark, java.lang.Boolean.TRUE)
     spark
   }
 
