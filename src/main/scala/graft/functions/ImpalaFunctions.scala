@@ -76,6 +76,9 @@ object ImpalaFunctions {
     "months_add" -> tsAdd("MONTH"), "months_sub" -> tsSub("MONTH"),
     "weeks_add" -> tsAdd("WEEK"), "weeks_sub" -> tsSub("WEEK"),
     "days_add" -> tsAdd("DAY"), "days_sub" -> tsSub("DAY"),
+    // MySQL-style aliases for day arithmetic (impala_functions.py:146-151
+    // lists them on the days_add/days_sub rows; Spark has no adddate/subdate).
+    "adddate" -> tsAdd("DAY"), "subdate" -> tsSub("DAY"),
     "hours_add" -> tsAdd("HOUR"), "hours_sub" -> tsSub("HOUR"),
     "minutes_add" -> tsAdd("MINUTE"), "minutes_sub" -> tsSub("MINUTE"),
     "seconds_add" -> tsAdd("SECOND"), "seconds_sub" -> tsSub("SECOND"),

@@ -295,6 +295,8 @@ object FunctionCorpus {
              CAST(months_sub(o_orderdate, 2) AS DATE)   AS ms,
              CAST(weeks_add(o_orderdate, 3) AS DATE)    AS wa,
              CAST(days_add(o_orderdate, 45) AS DATE)    AS da,
+             CAST(adddate(o_orderdate, 10) AS DATE)     AS ad,
+             CAST(subdate(o_orderdate, 10) AS DATE)     AS sd,
              hours_add(o_orderdate, 7)                  AS ha,
              minutes_add(o_orderdate, 90)               AS mia,
              seconds_sub(o_orderdate, 61)               AS ssub,
@@ -323,6 +325,8 @@ object FunctionCorpus {
              CAST(o_orderdate - INTERVAL 2 MONTH AS DATE)    AS ms,
              CAST(o_orderdate + INTERVAL 21 DAY AS DATE)     AS wa,
              CAST(o_orderdate + INTERVAL 45 DAY AS DATE)     AS da,
+             CAST(o_orderdate + INTERVAL 10 DAY AS DATE)     AS ad,
+             CAST(o_orderdate - INTERVAL 10 DAY AS DATE)     AS sd,
              o_orderdate + INTERVAL 7 HOUR              AS ha,
              o_orderdate + INTERVAL 90 MINUTE           AS mia,
              o_orderdate - INTERVAL 61 SECOND           AS ssub,
