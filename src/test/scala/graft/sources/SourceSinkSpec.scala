@@ -219,4 +219,39 @@ class SourceSinkSpec extends SparkSpec {
       assert(plan.contains("approx_count_distinct") || !plan.contains("distinct"), plan)
     } finally spark.conf.set(graft.plans.AppxCountDistinctRewrite.ConfKey, "false")
   }
+
+  test("hidden files (dot/underscore prefixed) are skipped by every scanner") {
+    // reference hidden-files.test: files named .foo or _foo inside a table
+    // dir are invisible to scans. At scale this is what makes in-flight
+    // copies (_copying.tmp) and marker files (_SUCCESS) safe to colocate
+    // with data.
+    import spark.implicits._
+    val dir = tmp("hidden")
+    java.nio.file.Files.writeString(java.nio.file.Paths.get(s"$dir/data.csv"), "1\n2\n3\n")
+    java.nio.file.Files.writeString(java.nio.file.Paths.get(s"$dir/.hidden.csv"), "100\n")
+    java.nio.file.Files.writeString(java.nio.file.Paths.get(s"$dir/_in_flight.csv"), "200\n")
+    val schema = StructType.fromDDL("i INT")
+    assert(Formats.readDelimited(spark, dir, schema).as[Int].collect().sorted.toSeq
+      === Seq(1, 2, 3))
+    // parquet: a dot-prefixed copy of a real data file must stay invisible
+    val pdir = tmp("hidden_pq")
+    Seq(1, 2, 3).toDF("i").coalesce(1).write.mode("overwrite").parquet(pdir)
+    val part = new java.io.File(pdir).listFiles()
+      .filter(f => f.getName.startsWith("part-") && f.getName.endsWith(".parquet")).head
+    java.nio.file.Files.copy(part.toPath,
+      java.nio.file.Paths.get(s"$pdir/.staging-${part.getName}"))
+    assert(spark.read.parquet(pdir).count() === 3,
+      "the dot-prefixed staging copy must not double the scan")
+  }
+
+  test("a 10MB single string value survives scan and projection (wide-row.test)") {
+    // reference wide-row.test: string_col is 10MB; length() must see every
+    // byte. Guards the row-size path (one value > default page sizes).
+    import spark.implicits._
+    val dir = tmp("wide_value")
+    val big = "x" * (10 * 1024 * 1024)
+    Seq((1, big)).toDF("id", "string_col").write.mode("overwrite").parquet(dir)
+    val len = spark.read.parquet(dir).select(length(col("string_col"))).collect()(0).getInt(0)
+    assert(len === 10 * 1024 * 1024)
+  }
 }
