@@ -139,6 +139,34 @@ class PlannerFamilySpec extends SparkSpec {
       "the filter must reach the lineitem branch's scan")
   }
 
+  test("aggregation: map-side partial combine below the shuffle, merge above") {
+    // reference aggregation.test DISTRIBUTEDPLAN: AGGREGATE below the hash
+    // exchange, AGGREGATE [FINALIZE] with :merge functions above. This is
+    // THE property that keeps a 100 TB groupBy from shuffling raw rows.
+    val s = explain0(
+      """SELECT l_returnflag, count(*) AS cnt, sum(l_quantity) AS qty
+         FROM lineitem GROUP BY l_returnflag""")
+    assert("HashAggregate".r.findAllIn(s).size === 2,
+      "exactly one partial/final aggregate pair")
+    assert(s.contains("partial_count(1)") && s.contains("partial_sum"),
+      "the pre-shuffle aggregate must compute partial states (map-side combine)")
+    assert("Exchange hashpartitioning".r.findAllIn(s).size === 1,
+      "one shuffle, carrying partial states only")
+  }
+
+  test("distinct aggregation: pre-shuffle dedup, two phases (distinct.test)") {
+    // reference distinct.test: count(DISTINCT x) plans as dedup-by-x (with
+    // a map-side partial dedup) then count — never raw rows to one node.
+    val s = explain0("SELECT count(DISTINCT o_custkey) AS u FROM orders")
+    assert("HashAggregate".r.findAllIn(s).size === 4,
+      "two phases of two: dedup pair on the key, then count pair")
+    assert(s.contains("keys=[o_custkey"),
+      "phase 1 must group by the distinct key (map-side dedup)")
+    assert("Exchange hashpartitioning".r.findAllIn(s).size === 1,
+      "the only hash shuffle carries deduped keys")
+    assert(!s.contains("Expand"), "single-distinct must not expand rows")
+  }
+
   test("distinct estimate: ndv() plans as a streaming sketch, no Expand, one agg pair") {
     // reference distinct-estimate.test: ndv() must not plan like exact
     // DISTINCT (no duplicate-elimination pre-aggregation).
