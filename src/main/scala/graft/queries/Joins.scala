@@ -254,4 +254,34 @@ object Joins {
     FROM lineitem JOIN dim ON l_returnflag = flag
     GROUP BY label
     ORDER BY label"""
+
+  /** Fact×fact×fact self-join feeding a two-phase count(DISTINCT) — the
+    * reference's spill/race stress shape (targeted-stress/queries/
+    * agg_stress.test:1-22), the one join family the catalog's star shapes
+    * never exercise: NO side is a broadcastable dimension. Scale posture:
+    * all three legs shuffle on l_orderkey (co-partitioned, exchange
+    * reused), the l3 leg adds price+shipdate to the join key, and the
+    * DISTINCT dedups map-side before its own shuffle. The tax filters
+    * push to every scan instance. */
+  def qStressSelfJoin(spark: SparkSession, dir: String): DataFrame = {
+    val li = Tables.load(spark, dir, "lineitem")
+      .select(col("l_orderkey"), col("l_extendedprice"), col("l_shipdate"), col("l_tax"))
+    li.filter(col("l_tax") < 0.05).as("l1")
+      .join(li.filter(col("l_tax") < 0.05).as("l2"),
+        col("l1.l_orderkey") === col("l2.l_orderkey"))
+      .join(li.as("l3"),
+        col("l1.l_orderkey") === col("l3.l_orderkey") &&
+          col("l1.l_extendedprice") === col("l3.l_extendedprice") &&
+          col("l1.l_shipdate") === col("l3.l_shipdate"))
+      .agg(countDistinct(col("l2.l_extendedprice")).as("u"))
+  }
+
+  val qStressSelfJoinSql: String = """
+    SELECT count(DISTINCT l2.l_extendedprice) AS u
+    FROM lineitem l1, lineitem l2, lineitem l3
+    WHERE l1.l_tax < 0.05 AND l2.l_tax < 0.05
+      AND l1.l_orderkey = l2.l_orderkey
+      AND l1.l_orderkey = l3.l_orderkey
+      AND l1.l_extendedprice = l3.l_extendedprice
+      AND l1.l_shipdate = l3.l_shipdate"""
 }
