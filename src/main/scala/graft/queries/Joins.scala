@@ -258,11 +258,14 @@ object Joins {
   /** Fact×fact×fact self-join feeding a two-phase count(DISTINCT) — the
     * reference's spill/race stress shape (targeted-stress/queries/
     * agg_stress.test:1-22), the one join family the catalog's star shapes
-    * never exercise: NO side is a broadcastable dimension. Scale posture:
-    * all three legs shuffle on l_orderkey (co-partitioned, exchange
-    * reused), the l3 leg adds price+shipdate to the join key, and the
-    * DISTINCT dedups map-side before its own shuffle. The tax filters
-    * push to every scan instance. */
+    * never exercise: NO side is a broadcastable dimension. Scale posture
+    * (pinned in PlannerFamilySpec): both joins sort-merge; the orderkey
+    * join shuffles its two filtered legs once each, and the 3-key join
+    * re-clusters both inputs on the FULL (orderkey, price, shipdate) set —
+    * Spark's all-cluster-keys co-partition rule, which bounds per-key skew
+    * that orderkey-subset reuse would concentrate. The DISTINCT dedups
+    * map-side before its own shuffle, and the tax filters push into the
+    * two filtered scans with the unfiltered leg pruned to 3 columns. */
   def qStressSelfJoin(spark: SparkSession, dir: String): DataFrame = {
     val li = Tables.load(spark, dir, "lineitem")
       .select(col("l_orderkey"), col("l_extendedprice"), col("l_shipdate"), col("l_tax"))

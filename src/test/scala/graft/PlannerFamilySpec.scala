@@ -167,6 +167,38 @@ class PlannerFamilySpec extends SparkSpec {
     assert(!s.contains("Expand"), "single-distinct must not expand rows")
   }
 
+  test("stress self-join: both fact joins sort-merge, full-key re-cluster, map-side distinct dedup") {
+    // targeted-stress agg_stress shape (q_stress_selfjoin): with no
+    // broadcastable side (threshold off = the 100 TB posture), both joins
+    // must be sort-merge; the orderkey join shuffles its two legs on
+    // l_orderkey and the 3-key join re-clusters BOTH inputs on the full
+    // (orderkey, price, shipdate) set — Spark's all-cluster-keys
+    // co-partition rule, which keeps per-key fan-in bounded instead of
+    // concentrating every orderkey's cross product on one reducer. The
+    // count(DISTINCT) must dedup map-side below its own shuffle, and the
+    // tax filter must reach the two filtered scans with the unfiltered
+    // leg pruned to its 3 join columns.
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val s = explain0(SparkEntry.oracleSql("q_stress_selfjoin"))
+      assert("SortMergeJoin".r.findAllIn(s).size === 2,
+        "both fact joins must be sort-merge (nothing broadcastable)")
+      assert("Exchange hashpartitioning\\(l_orderkey#\\d+L, \\d".r.findAllIn(s).size === 2,
+        "the orderkey join shuffles exactly its two filtered legs")
+      assert("Exchange hashpartitioning\\(l_orderkey#\\d+L, knownfloat".r.findAllIn(s).size === 2,
+        "the 3-key join re-clusters both inputs on the full key set")
+      assert("LessThan\\(l_tax,0.05\\)".r.findAllIn(s).size === 2,
+        "the tax filter must reach both filtered parquet scans")
+      assert(s.contains("ReadSchema: struct<l_orderkey:bigint,l_extendedprice:double,l_shipdate:timestamp_ntz>"),
+        "the unfiltered leg must prune to exactly its 3 join columns")
+      assert(s.contains("HashAggregate(keys=[knownfloat") ||
+             s.contains("HashAggregate(keys=[l_extendedprice"),
+        "count(DISTINCT) must dedup map-side below its shuffle")
+      assert(!s.contains("CartesianProduct") && !s.contains("NestedLoop"))
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+  }
+
   test("distinct estimate: ndv() plans as a streaming sketch, no Expand, one agg pair") {
     // reference distinct-estimate.test: ndv() must not plan like exact
     // DISTINCT (no duplicate-elimination pre-aggregation).
