@@ -42,6 +42,23 @@ object EngineSession {
     "spark.sql.parquet.outputTimestampType" -> "TIMESTAMP_MICROS"
   )
 
+  /** Operator-supplied conf overrides: `SPARK_GRAFT_EXTRA_CONF="k=v;k=v"`,
+    * applied AFTER [[staticConfs]] so a deployment can tune the engine's
+    * posture (shuffle width, AQE, codegen, memory knobs) without a code
+    * fork — the Spark analogue of the reference's impalad startup flags.
+    * Also the lever behind the config-axis correctness sweeps: the same
+    * catalog must hash identically with AQE off, codegen off, or any
+    * shuffle-partition count. */
+  def extraConfs: Map[String, String] =
+    sys.env.get("SPARK_GRAFT_EXTRA_CONF").map(parseExtraConfs).getOrElse(Map.empty)
+
+  private[graft] def parseExtraConfs(raw: String): Map[String, String] =
+    raw.split(';').iterator.map(_.trim).filter(_.nonEmpty).map { kv =>
+      val i = kv.indexOf('=')
+      require(i > 0, s"SPARK_GRAFT_EXTRA_CONF entry '$kv' is not key=value")
+      kv.take(i).trim -> kv.drop(i + 1).trim
+    }.toMap
+
   /** Build a local session sized for this container (local[N] threads). */
   def build(
       master: String = s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")}]",
@@ -60,6 +77,7 @@ object EngineSession {
       .config("spark.sql.shuffle.partitions", shufflePartitions.toString)
       .config("spark.ui.enabled", "false")
     staticConfs.foreach { case (k, v) => b.config(k, v) }
+    extraConfs.foreach { case (k, v) => b.config(k, v) }
     val spark = b.getOrCreate()
     builtSessions.put(spark, java.lang.Boolean.TRUE)
     spark.sparkContext.setLogLevel("WARN")
@@ -113,7 +131,7 @@ object EngineSession {
     * dynamic confs and register the dialect functions, without restarting.
     */
   def adopt(spark: SparkSession): SparkSession = {
-    staticConfs.foreach { case (k, v) =>
+    (staticConfs ++ extraConfs).foreach { case (k, v) =>
       try spark.conf.set(k, v)
       catch { case _: org.apache.spark.sql.AnalysisException => () } // static conf on live session
     }

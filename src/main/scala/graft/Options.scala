@@ -81,6 +81,23 @@ object Options {
         spark.conf.set(s"spark.graft.option.${name.toLowerCase}", value)
     }
 
+  /** `UNSET name` (impala_shell do_unset): return an option to its
+    * default. Mapped options unset their translated Spark conf, falling
+    * back to the session's built default — the same value the option had
+    * before the first SET, which is how the reference's per-query options
+    * struct behaves. NUM_NODES restores the stashed session parallelism;
+    * recorded-only options simply drop their namespaced conf. */
+  def unset(spark: SparkSession, name: String): Unit =
+    if (name.equalsIgnoreCase("NUM_NODES")) {
+      spark.conf.getOption(NumNodesStash)
+        .foreach(v => spark.conf.set("spark.sql.shuffle.partitions", v))
+      spark.conf.unset("spark.graft.option.num_nodes")
+      spark.conf.unset(NumNodesStash)
+    } else mapped.get(name.toUpperCase) match {
+      case Some(f) => spark.conf.unset(f("true")._1)
+      case None    => spark.conf.unset(s"spark.graft.option.${name.toLowerCase}")
+    }
+
   /** `SET` with no args: the option surface only — recorded Impala
     * options (`spark.graft.option.*`, surfaced under their Impala names)
     * plus the live Spark confs the mapped options translate to. The
@@ -120,5 +137,50 @@ object Options {
     }
     df.queryExecution.explainString(
       org.apache.spark.sql.execution.ExplainMode.fromString(mode))
+  }
+
+  /** Post-execution per-operator summary (impala_shell do_summary: the
+    * exec summary table of operator / #rows / peak mem). The Spark
+    * analogue reads each physical operator's SQLMetrics off the FINAL
+    * adaptive plan — metrics are zero until the frame has actually run, so
+    * call after an action. One line per operator, indented by tree depth:
+    * `operator  #rows  <other populated metrics>`. */
+  def summary(df: DataFrame): String = {
+    import org.apache.spark.sql.execution.SparkPlan
+    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+    // AQE wraps stages; unwrap to the operators that actually executed
+    // (queryExecution.sparkPlan would show the PRE-adaptive tree).
+    def children(p: SparkPlan): Seq[SparkPlan] = p match {
+      case a: AdaptiveSparkPlanExec => Seq(a.executedPlan)
+      case s: QueryStageExec        => Seq(s.plan)
+      case other                    => other.children
+    }
+    val out = new StringBuilder
+    def walk(p: SparkPlan, depth: Int): Unit = p match {
+      case a: AdaptiveSparkPlanExec => walk(a.executedPlan, depth)
+      case s: QueryStageExec        => walk(s.plan, depth)
+      case op =>
+        val rows = op.metrics.get("numOutputRows").map(_.value)
+        val rest = op.metrics.view
+          .filterKeys(_ != "numOutputRows").toSeq
+          .filter(_._2.value > 0)
+          .sortBy(_._1)
+          .map { case (k, m) => s"$k=${m.value}" }
+        out.append("  " * depth).append(op.nodeName)
+          .append(rows.fold("")(r => s"  #rows=$r"))
+          .append(if (rest.isEmpty) "" else rest.mkString("  [", ", ", "]"))
+          .append('\n')
+        children(op).foreach(walk(_, depth + 1))
+    }
+    walk(df.queryExecution.executedPlan, 0)
+    out.result()
+  }
+
+  /** `version` (impala_shell do_version): the engine identifier — this
+    * library's dialect version over the Spark runtime actually loaded.
+    * Falls back to "dev" when run from unpackaged classes (sbt test). */
+  def version(spark: SparkSession): String = {
+    val v = Option(getClass.getPackage.getImplementationVersion).getOrElse("dev")
+    s"graft/$v spark/${spark.version}"
   }
 }

@@ -78,4 +78,16 @@ class AdoptedSessionSpec extends SparkSpec {
     assert(!usesNdv(EngineSession.sql(adopted, sql)))
     assert(EngineSession.sql(adopted, sql).collect()(0).getLong(0) === 100L)
   }
+
+  test("SPARK_GRAFT_EXTRA_CONF parses k=v;k=v, trims, and rejects malformed entries") {
+    // The deployment-tuning knob behind the config-axis sweeps: values may
+    // contain '=' (only the first splits), blanks between ';' are ignored.
+    assert(EngineSession.parseExtraConfs(
+      "spark.sql.adaptive.enabled=false; spark.sql.shuffle.partitions=7 ;;") ===
+      Map("spark.sql.adaptive.enabled" -> "false",
+          "spark.sql.shuffle.partitions" -> "7"))
+    assert(EngineSession.parseExtraConfs("a=b=c") === Map("a" -> "b=c"))
+    assertThrows[IllegalArgumentException](EngineSession.parseExtraConfs("noequals"))
+    assertThrows[IllegalArgumentException](EngineSession.parseExtraConfs("=v"))
+  }
 }

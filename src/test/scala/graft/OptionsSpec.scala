@@ -78,6 +78,47 @@ class OptionsSpec extends SparkSpec {
     assert(!Options.explain(spark, df).contains("Analyzed Logical Plan"))
   }
 
+  test("UNSET returns options to their defaults (mapped, recorded, NUM_NODES)") {
+    // impala_shell do_unset: each class of option must restore its
+    // pre-SET state, not a hardcoded value.
+    val codegenDefault = spark.conf.get("spark.sql.codegen.wholeStage")
+    Options.set(spark, "DISABLE_CODEGEN", "true")
+    assert(spark.conf.get("spark.sql.codegen.wholeStage") === "false")
+    Options.unset(spark, "DISABLE_CODEGEN")
+    assert(spark.conf.get("spark.sql.codegen.wholeStage") === codegenDefault)
+
+    Options.set(spark, "DEBUG_ACTION", "x") // resource-only: recorded, inert
+    assert(Options.show(spark).contains("DEBUG_ACTION"))
+    Options.unset(spark, "DEBUG_ACTION")
+    assert(!Options.show(spark).contains("DEBUG_ACTION"))
+
+    val parallelism = spark.conf.get("spark.sql.shuffle.partitions")
+    Options.set(spark, "NUM_NODES", "5")
+    assert(spark.conf.get("spark.sql.shuffle.partitions") === "5")
+    Options.unset(spark, "NUM_NODES")
+    assert(spark.conf.get("spark.sql.shuffle.partitions") === parallelism)
+    assert(!Options.show(spark).contains("NUM_NODES"))
+  }
+
+  test("summary: per-operator exec metrics off the final adaptive plan") {
+    // impala_shell do_summary: after an action, every executed operator
+    // reports with its row counts — through AQE's stage wrappers.
+    val df = spark.range(1000).selectExpr("id % 7 AS k")
+      .groupBy("k").count()
+    df.collect()
+    val s = Options.summary(df)
+    assert(s.contains("HashAggregate"), s"summary missing operators:\n$s")
+    assert(s.contains("#rows=7"), s"summary missing final row count:\n$s")
+    assert(!s.contains("AdaptiveSparkPlan"),
+      "AQE wrappers must be unwrapped to the operators that actually ran")
+    // tree depth must be visible (child operators indent)
+    assert(s.linesIterator.exists(_.startsWith("  ")), s"no indentation:\n$s")
+  }
+
+  test("version identifies the dialect over the loaded Spark runtime") {
+    assert(Options.version(spark).matches("graft/\\S+ spark/4\\..+"))
+  }
+
   test("CHAR(n) semantics: table columns pad on read; expression cast does not (documented delta)") {
     // Reference CHAR is 'minimally supported' (types.h:44-47); Spark pads
     // CHAR table columns on read but treats expression-level CHAR casts as
