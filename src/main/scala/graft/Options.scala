@@ -176,6 +176,15 @@ object Options {
     out.result()
   }
 
+  /** `profile` (impala_shell do_profile): the full runtime profile of an
+    * executed frame — the formatted plan (operator ids, codegen spans,
+    * pushed filters) followed by the per-operator exec-metric tree from
+    * [[summary]]. Like the reference, the profile is meaningful after the
+    * query has run: metrics are live SQLMetrics and read zero before an
+    * action. */
+  def profile(df: DataFrame): String =
+    explain(df, 3) + "\nExec Summary:\n" + summary(df)
+
   /** `version` (impala_shell do_version): the engine identifier — this
     * library's dialect version over the Spark runtime actually loaded.
     * Falls back to "dev" when run from unpackaged classes (sbt test). */

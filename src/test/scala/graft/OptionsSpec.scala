@@ -119,6 +119,18 @@ class OptionsSpec extends SparkSpec {
     assert(Options.version(spark).matches("graft/\\S+ spark/4\\..+"))
   }
 
+  test("profile: formatted plan plus exec metrics of an executed frame") {
+    // impala_shell do_profile: plan shape AND runtime counters in one
+    // report — the formatted section carries operator ids / codegen spans,
+    // the summary section carries the populated metrics.
+    val df = spark.range(500).selectExpr("id % 3 AS k").groupBy("k").count()
+    df.collect()
+    val p = Options.profile(df)
+    assert(p.contains("HashAggregate"), s"profile missing plan operators:\n$p")
+    assert(p.contains("Exec Summary:"), "profile missing the metrics section")
+    assert(p.contains("#rows=3"), s"profile missing executed row counts:\n$p")
+  }
+
   test("CHAR(n) semantics: table columns pad on read; expression cast does not (documented delta)") {
     // Reference CHAR is 'minimally supported' (types.h:44-47); Spark pads
     // CHAR table columns on read but treats expression-level CHAR casts as

@@ -610,4 +610,41 @@ class LlmOpsSpec extends SparkSpec {
       .select(col("recall_ok")).distinct().collect()
     assert(inverted.map(_.getBoolean(0)).toSeq === Seq(false))
   }
+
+  test("e2e pipeline: stage contracts hold through the composed chain (sf0.001)") {
+    // The driver hash-checks q_pipeline_e2e's final aggregate; this pins
+    // the CROSS-STAGE contracts the aggregate alone can't show. Rebuild
+    // the intermediate stages with the same operators the entry chains:
+    import graft.queries.LlmOps
+    val dir = "/root/testdata/sf0.001"
+    val raw = graft.Tables.load(spark, dir, "documents")
+    val cleaned = raw.select(col("doc_id"), col("lang"),
+      TextAnalysis.scrub(concat(col("text"),
+        lit(" contact admin@mail.example.com or see https://ex.example/home"))).as("clean"))
+    val kept = TextAnalysis.keepAboveQuantile(
+      cleaned.withColumn("stop_ratio", TextAnalysis.stopwordRatio(col("clean"))),
+      "stop_ratio", "lang", 0.5)
+    val survivors = kept.join(
+      kept.groupBy(md5(col("clean")).as("fp")).agg(min(col("doc_id")).as("doc_id"))
+        .select(col("doc_id")), Seq("doc_id"), "left_semi")
+    val reps = Dedup.minhashClustersPortable(survivors, "clean", "doc_id")
+      .filter(!col("is_dup"))
+
+    // 1. scrub fired on every row (the constant contaminant guarantees it)
+    assert(cleaned.filter(!col("clean").contains("<scrubbed>")).count() === 0)
+    // 2. the quality gate dropped rows but not everything
+    val (nRaw, nKept) = (raw.count(), kept.count())
+    assert(nKept > 0 && nKept < nRaw)
+    // 3. exact dedup left survivors unique by content hash
+    assert(survivors.select(md5(col("clean"))).distinct().count() === survivors.count())
+    // 4. near-dup dedup is a fixpoint: no verified pair survives among reps
+    val repDocs = survivors.join(reps.select(col("doc_id")), Seq("doc_id"), "left_semi")
+    assert(Dedup.minhashPairsPortable(repDocs, "clean", "doc_id").count() === 0)
+    // 5. the entry's aggregate reconciles with the rebuilt rep set
+    val out = LlmOps.qPipelineE2e(spark, dir).collect()
+    assert(out.map(_.getAs[String]("split")).toSeq.sorted === Seq("train", "val"))
+    assert(out.map(_.getAs[Long]("n_docs")).sum === reps.count())
+    assert(out.map(_.getAs[Long]("id_checksum")).sum ===
+      reps.agg(sum(col("doc_id"))).collect()(0).getLong(0))
+  }
 }
