@@ -109,6 +109,18 @@ object TextAnalysis {
   /** Hamming distance between two 64-bit simhashes. */
   def hamming64(a: Column, b: Column): Column = bit_count(a.bitwiseXOR(b))
 
+  /** Hamming distance between two 16-hex-char (64-bit) fingerprints —
+    * the portable-form counterpart of [[hamming64]]: 16 nibble-wise
+    * conv/xor/bit_count terms, all codegen'd builtins (no UDF), so the
+    * verify filter of a simhash dedup pass stays inside whole-stage
+    * codegen. */
+  def hammingHex64(a: Column, b: Column): Column =
+    (0 until 16).map { j =>
+      val na = conv(substring(a, j + 1, 1), 16, 10).cast("int")
+      val nb = conv(substring(b, j + 1, 1), 16, 10).cast("int")
+      bit_count(na.bitwiseXOR(nb))
+    }.reduce(_ + _)
+
   /** Scrub URLs and email addresses from text (the standard PII/dedup
     * normalization pass before training). Patterns are deliberately
     * conservative — valid and identically interpreted under both Java

@@ -443,10 +443,14 @@ object LlmOps {
       .orderBy(col("doc_id"))
   }
 
-  /** DuckDB mirror of [[qTextFingerprints]] — generated with the same bit
-    * loops as [[TextAnalysis.simhashHexTable]] (64 majority votes over
-    * md5-derived token-hash bits, hex digits MSB-first). */
-  val qTextFingerprintsSql: String = {
+  /** The portable-simhash CTE chain over an arbitrary source relation
+    * `src(doc_id, text, …)` — CTE definitions only, ending at
+    * `sh(doc_id, simhash_hex)`. Generated with the same bit loops as
+    * [[TextAnalysis.simhashHexTable]] (64 majority votes over md5-derived
+    * token-hash bits, hex digits MSB-first); shared by
+    * [[qTextFingerprintsSql]] and the simhash-dedup oracle so the
+    * fingerprint family cannot drift between entries. */
+  private def simhashCtes(src: String): String = {
     val digitVals = (0 until 16).map(j =>
       s"strpos('0123456789abcdef', substr(h, ${j + 1}, 1)) - 1 AS hv$j")
       .mkString(",\n             ")
@@ -460,21 +464,80 @@ object LlmOps {
         s"(CASE WHEN v${j * 4 + m} >= 0 THEN ${1 << (3 - m)} ELSE 0 END)").mkString(" + ")
       s"substr('0123456789abcdef', ($v) + 1, 1)"
     }.mkString(" ||\n           ")
-    s"""
-    WITH tok AS (
+    s"""tok AS (
       SELECT doc_id, unnest(string_split_regex(lower(trim(text)), '\\s+')) AS tok
-      FROM documents),
+      FROM $src),
     h AS (SELECT doc_id, md5(tok) AS h FROM tok),
     hv AS (SELECT doc_id,
              $digitVals
            FROM h),
     votes AS (SELECT doc_id,
              $votes
-           FROM hv GROUP BY doc_id)
+           FROM hv GROUP BY doc_id),
+    sh AS (SELECT doc_id,
+           $chars AS simhash_hex
+           FROM votes)"""
+  }
+
+  /** DuckDB mirror of [[qTextFingerprints]]. */
+  val qTextFingerprintsSql: String = s"""
+    WITH ${simhashCtes("documents")}
     SELECT d.doc_id,
            substr(md5(regexp_replace(lower(trim(d.text)), '\\s+', ' ', 'g')), 1, 16) AS fp_hex,
-           $chars AS simhash_hex
-    FROM documents d JOIN votes USING (doc_id)
+           s.simhash_hex
+    FROM documents d JOIN sh s USING (doc_id)
+    ORDER BY doc_id"""
+
+  /** SimHash near-dup dedup ([[Dedup.simhashClusters]]): the third
+    * near-dup family next to minhash and n-gram jaccard — hamming ≤ 3
+    * over 64-bit content fingerprints, candidates from pigeonhole-complete
+    * band bucketing. The corpus plants both guaranteed dups (exact copies
+    * of every 11th doc: identical fingerprint, hamming 0) and
+    * boundary probes (every 7th doc re-appended with a 3-token tail:
+    * a few majority votes flip, landing deterministically on either side
+    * of the hamming cutoff — both outcomes are exercised).
+    *
+    * The oracle is deliberately ALL-PAIRS hamming (quadratic, fine at
+    * oracle scale): it verifies the engine's banding+cap candidate
+    * generation against ground truth rather than mirroring it. */
+  def qDedupSimhash(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.load(spark, dir, "documents")
+    val corpus = docs.select(col("doc_id"), col("text"))
+      .unionByName(docs.filter(col("doc_id") % 11 === 0)
+        .select((col("doc_id") + 1000000).as("doc_id"), col("text")))
+      .unionByName(docs.filter(col("doc_id") % 7 === 0)
+        .select((col("doc_id") + 2000000).as("doc_id"),
+          concat(col("text"), lit(" simdup probe tail")).as("text")))
+    Dedup.simhashClusters(corpus, "text", "doc_id").orderBy(col("doc_id"))
+  }
+
+  /** Ground-truth mirror of [[qDedupSimhash]]: the shared [[simhashCtes]]
+    * fingerprints over the same constructed corpus, then brute-force
+    * nibble hamming over ALL id-ordered pairs and the same min-id one-hop
+    * representative rule as the minhash/ngram cluster oracles. */
+  val qDedupSimhashSql: String = {
+    def nib(side: String, j: Int) =
+      s"strpos('0123456789abcdef', substr($side.simhash_hex, ${j + 1}, 1)) - 1"
+    val ham = (0 until 16).map(j =>
+      s"bit_count(xor(${nib("a", j)}, ${nib("b", j)}))")
+      .mkString(" +\n            ")
+    s"""
+    WITH corpus AS (
+      SELECT doc_id, text FROM documents
+      UNION ALL
+      SELECT doc_id + 1000000 AS doc_id, text FROM documents WHERE doc_id % 11 = 0
+      UNION ALL
+      SELECT doc_id + 2000000 AS doc_id, text || ' simdup probe tail' AS text
+      FROM documents WHERE doc_id % 7 = 0),
+    ${simhashCtes("corpus")},
+    pairs AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b
+      FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+      WHERE $ham <= 3),
+    rep AS (SELECT id_b AS doc_id, MIN(id_a) AS rep_id FROM pairs GROUP BY id_b)
+    SELECT c.doc_id, COALESCE(r.rep_id, c.doc_id) AS rep_id,
+           r.rep_id IS NOT NULL AS is_dup
+    FROM corpus c LEFT JOIN rep r USING (doc_id)
     ORDER BY doc_id"""
   }
 

@@ -611,6 +611,61 @@ class LlmOpsSpec extends SparkSpec {
     assert(inverted.map(_.getBoolean(0)).toSeq === Seq(false))
   }
 
+  test("hammingHex64 matches bit-level ground truth on known fingerprints") {
+    import spark.implicits._
+    val cases = Seq( // (a, b, expected popcount of xor)
+      ("deadbeefdeadbeef", "deadbeefdeadbeef", 0),
+      ("deadbeefdeadbeef", "deadbeefdeadbeee", 1),
+      ("deadbeefdeadbeef", "0000000000000000", 48),
+      ("deadbeefdeadbeef", "ffffffffffffffff", 16),
+      ("0000000000000000", "ffffffffffffffff", 64))
+    val got = cases.toDF("a", "b", "want")
+      .withColumn("got", TextAnalysis.hammingHex64(col("a"), col("b")))
+      .collect()
+    got.foreach(r => assert(r.getAs[Int]("got") === r.getAs[Int]("want"),
+      s"${r.getAs[String]("a")} vs ${r.getAs[String]("b")}"))
+  }
+
+  test("simhash dedup: banded candidates reproduce brute-force all-pairs hamming") {
+    // The banding claim is pigeonhole completeness (bands > maxHamming ⇒
+    // every pair within the cutoff collides in some band). Compare the
+    // operator against a direct all-pairs hamming join over the same
+    // fingerprints on a corpus with exact dups, near-dups and uniques.
+    val dir = "/root/testdata/sf0.001"
+    val base = graft.Tables.load(spark, dir, "documents")
+    val corpus = base.select(col("doc_id"), col("text"))
+      .unionByName(base.filter(col("doc_id") % 11 === 0)
+        .select((col("doc_id") + 1000000).as("doc_id"), col("text")))
+      .unionByName(base.filter(col("doc_id") % 7 === 0)
+        .select((col("doc_id") + 2000000).as("doc_id"),
+          concat(col("text"), lit(" simdup probe tail")).as("text")))
+    val banded = Dedup.simhashPairs(corpus, "text", "doc_id")
+      .select("id_a", "id_b", "hamming")
+    val fps = TextAnalysis.simhashHexTable(corpus, "text", "doc_id")
+    val brute = fps.as("a").join(fps.as("b"),
+        col("a.doc_id") < col("b.doc_id"))
+      .withColumn("hamming",
+        TextAnalysis.hammingHex64(col("a.simhash_hex"), col("b.simhash_hex")))
+      .filter(col("hamming") <= 3)
+      .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"), col("hamming"))
+    assert(banded.exceptAll(brute).count() === 0)
+    assert(brute.exceptAll(banded).count() === 0)
+    assert(banded.count() > 0) // the planted exact copies guarantee pairs
+  }
+
+  test("simhash clusters: exact copies point at the original as representative") {
+    import spark.implicits._
+    val tiny = Seq(
+      (10L, "alpha beta gamma delta epsilon zeta eta theta iota kappa"),
+      (20L, "alpha beta gamma delta epsilon zeta eta theta iota kappa"), // exact
+      (30L, "utterly unrelated content on a different topic entirely somewhere")
+    ).toDF("doc_id", "text")
+    val out = Dedup.simhashClusters(tiny, "text", "doc_id")
+      .orderBy(col("doc_id")).collect()
+    assert(out.map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2))).toSeq ===
+      Seq((10L, 10L, false), (20L, 10L, true), (30L, 30L, false)))
+  }
+
   test("e2e pipeline: stage contracts hold through the composed chain (sf0.001)") {
     // The driver hash-checks q_pipeline_e2e's final aggregate; this pins
     // the CROSS-STAGE contracts the aggregate alone can't show. Rebuild
