@@ -78,11 +78,21 @@ object EngineSession {
       .config("spark.ui.enabled", "false")
     staticConfs.foreach { case (k, v) => b.config(k, v) }
     extraConfs.foreach { case (k, v) => b.config(k, v) }
+    // getOrCreate() can hand back a PRE-EXISTING session, for which
+    // .withExtensions is silently ignored — that session lacks the
+    // injected early-batch rule and must stay on the adopted compensation
+    // path, not be marked built (which would permanently suppress it).
+    val preexisting =
+      SparkSession.getActiveSession.toSet ++ SparkSession.getDefaultSession.toSet
     val spark = b.getOrCreate()
-    builtSessions.put(spark, java.lang.Boolean.TRUE)
+    if (preexisting.contains(spark)) {
+      adopt(spark)
+    } else {
+      builtSessions.put(spark, java.lang.Boolean.TRUE)
+      Dialect.registerAll(spark)
+      installRules(spark)
+    }
     spark.sparkContext.setLogLevel("WARN")
-    Dialect.registerAll(spark)
-    installRules(spark)
     spark
   }
 
@@ -151,14 +161,23 @@ object EngineSession {
     * the fallback rule's reach — so SQL behaves identically on built and
     * adopted sessions. */
   def sql(spark: SparkSession, text: String): DataFrame = {
+    import org.apache.spark.sql.catalyst.plans.logical.{Command, CommandResult}
     val df = spark.sql(Dialect.rewriteImpalaHints(text))
     val appxOn = spark.conf
-      .getOption(plans.AppxCountDistinctRewrite.ConfKey).exists(_.toBoolean)
+      .getOption(plans.AppxCountDistinctRewrite.ConfKey)
+      .exists(plans.AppxCountDistinctRewrite.parseBool)
     if (appxOn && isAdopted(spark)) {
-      val analyzed = df.queryExecution.analyzed
-      val rewritten = plans.AppxCountDistinctRewrite.rewrite(analyzed)
-      if (rewritten fastEquals analyzed) df
-      else org.apache.spark.sql.graftplan.PlanBridge.ofRows(spark, rewritten)
+      df.queryExecution.analyzed match {
+        // Command plans (INSERT/CTAS/...) were already EXECUTED eagerly by
+        // spark.sql; re-wrapping through Dataset.ofRows would execute the
+        // DML a second time (duplicating written data). Their results are
+        // row counts / unit, never a COUNT(DISTINCT) surface — return as-is.
+        case _: Command | _: CommandResult => df
+        case analyzed =>
+          val rewritten = plans.AppxCountDistinctRewrite.rewrite(analyzed)
+          if (rewritten fastEquals analyzed) df
+          else org.apache.spark.sql.graftplan.PlanBridge.ofRows(spark, rewritten)
+      }
     } else df
   }
 }

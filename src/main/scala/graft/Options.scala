@@ -12,8 +12,12 @@ object Options {
 
   /** Impala option name (upper) → Spark conf + value translation. */
   private val mapped: Map[String, String => (String, String)] = Map(
-    // COUNT(DISTINCT) → ndv sketch rewrite (the one custom optimizer rule)
-    "APPX_COUNT_DISTINCT" -> (v => (plans.AppxCountDistinctRewrite.ConfKey, v)),
+    // COUNT(DISTINCT) → ndv sketch rewrite (the one custom optimizer rule).
+    // The reference accepts 0/1 booleans; canonicalize so every read site
+    // (EngineSession.sql, the optimizer rule's getConfString) sees
+    // "true"/"false" and never throws on `SET APPX_COUNT_DISTINCT=1`.
+    "APPX_COUNT_DISTINCT" -> (v => (plans.AppxCountDistinctRewrite.ConfKey,
+      if (v.equalsIgnoreCase("true") || v.trim == "1") "true" else "false")),
     // LLVM codegen toggle → whole-stage codegen toggle
     "DISABLE_CODEGEN" -> (v => ("spark.sql.codegen.wholeStage", flip(v))),
     // row-batch size → columnar reader batch size
@@ -48,6 +52,15 @@ object Options {
   // back to Spark's static 200, not the session's configured parallelism).
   private val NumNodesStash = "spark.graft.option.num_nodes.default"
 
+  // Pre-SET value stash for every mapped conf: UNSET must restore the
+  // SESSION's built default, not Spark's global one. With
+  // SPARK_GRAFT_EXTRA_CONF="spark.sql.codegen.wholeStage=false" (the
+  // config-axis sweep), plain conf.unset on UNSET DISABLE_CODEGEN would
+  // silently turn codegen back ON — the same hazard NumNodesStash guards.
+  // Distinct prefix from spark.graft.option.* so show() never surfaces it.
+  private val StashPrefix = "spark.graft.stash."
+  private val UnsetMarker = "<graft:unset>"
+
   def set(spark: SparkSession, name: String, value: String): Unit =
     if (name.equalsIgnoreCase("NUM_NODES")) {
       // record the option value as typed so SET output can echo it
@@ -65,6 +78,11 @@ object Options {
     } else mapped.get(name.toUpperCase) match {
       case Some(f) =>
         val (k, v) = f(value)
+        // First SET of this conf in the session: stash the pre-SET value
+        // so UNSET can restore the session's own default.
+        if (spark.conf.getOption(StashPrefix + k).isEmpty)
+          spark.conf.set(StashPrefix + k,
+            spark.conf.getOption(k).getOrElse(UnsetMarker))
         // Adopted sessions lack the early-batch optimizer rule, so the ndv
         // rewrite reaches DataFrame-API queries with 2+ DISTINCT aggregates
         // only on built sessions (EngineSession.sql closes the fork for the
@@ -94,8 +112,20 @@ object Options {
       spark.conf.unset("spark.graft.option.num_nodes")
       spark.conf.unset(NumNodesStash)
     } else mapped.get(name.toUpperCase) match {
-      case Some(f) => spark.conf.unset(f("true")._1)
-      case None    => spark.conf.unset(s"spark.graft.option.${name.toLowerCase}")
+      case Some(f) =>
+        val k = f("true")._1
+        spark.conf.getOption(StashPrefix + k) match {
+          case Some(UnsetMarker) => spark.conf.unset(k)
+          case Some(prev)        => spark.conf.set(k, prev)
+          case None =>
+            // Never SET through this surface: restore the engine's own
+            // default for the conf if it defines one (static or
+            // deployment-supplied), else drop it.
+            (EngineSession.staticConfs ++ EngineSession.extraConfs).get(k)
+              .fold(spark.conf.unset(k))(spark.conf.set(k, _))
+        }
+        spark.conf.unset(StashPrefix + k)
+      case None => spark.conf.unset(s"spark.graft.option.${name.toLowerCase}")
     }
 
   /** `SET` with no args: the option surface only — recorded Impala

@@ -19,8 +19,17 @@ object AppxCountDistinctRewrite extends Rule[LogicalPlan] {
 
   val ConfKey = "spark.graft.appxCountDistinct"
 
+  /** The reference's query options accept 0/1 as booleans
+    * (be/src/service/query-options.cc) — parse leniently so a value that
+    * reached the conf un-normalized (e.g. a direct `spark.conf.set`)
+    * toggles the rewrite instead of throwing in the optimizer. */
+  def parseBool(v: String): Boolean = {
+    val t = v.trim
+    t.equalsIgnoreCase("true") || t == "1"
+  }
+
   override def apply(plan: LogicalPlan): LogicalPlan =
-    if (!conf.getConfString(ConfKey, "false").toBoolean) plan
+    if (!parseBool(conf.getConfString(ConfKey, "false"))) plan
     else rewrite(plan)
 
   /** The unconditional rewrite — also applied directly to ANALYZED plans

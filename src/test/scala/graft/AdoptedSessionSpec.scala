@@ -72,6 +72,51 @@ class AdoptedSessionSpec extends SparkSpec {
     } finally Options.set(spark, "APPX_COUNT_DISTINCT", "false")
   }
 
+  test("adopted session: DML through EngineSession.sql executes exactly once") {
+    // ADVICE r8: spark.sql eagerly executes command plans; re-wrapping the
+    // analyzed plan through Dataset.ofRows would run the INSERT a second
+    // time and silently duplicate written data.
+    withAppx {
+      adopted.sql("DROP TABLE IF EXISTS adopt_dml_t")
+      adopted.sql("CREATE TABLE adopt_dml_t (n BIGINT) USING parquet")
+      try {
+        EngineSession.sql(adopted,
+          "INSERT INTO adopt_dml_t SELECT count(DISTINCT id) FROM range(100)")
+        assert(adopted.table("adopt_dml_t").count() === 1L,
+          "INSERT containing COUNT(DISTINCT) must write exactly one batch")
+      } finally adopted.sql("DROP TABLE IF EXISTS adopt_dml_t")
+    }
+  }
+
+  test("build() on a pre-existing active session routes to the adopted path") {
+    // ADVICE r8: getOrCreate can return a live session for which
+    // .withExtensions was ignored — marking it built would permanently
+    // suppress the adopted compensation and reopen the multi-distinct fork.
+    import org.apache.spark.sql.SparkSession
+    val bare = TestSessionBridge.bareSession(spark)
+    SparkSession.setActiveSession(bare)
+    try {
+      val got = EngineSession.build(master = "local[4]", shufflePartitions = 4)
+      assert(got eq bare, "getOrCreate must hand back the active session here")
+      assert(EngineSession.isAdopted(got),
+        "a pre-existing session lacks the injected rule and must stay adopted")
+    } finally SparkSession.setActiveSession(spark)
+  }
+
+  test("SET APPX_COUNT_DISTINCT=1 (reference 0/1 boolean) toggles the rewrite") {
+    // ADVICE r8: the stored value must parse at every read site — "1"
+    // verbatim used to throw IllegalArgumentException in sql() and the rule.
+    Options.set(adopted, "APPX_COUNT_DISTINCT", "1")
+    try {
+      val df = EngineSession.sql(adopted,
+        "SELECT count(DISTINCT id) AS a, count(DISTINCT id % 7) AS b FROM range(1000)")
+      assert(usesNdv(df), "=1 must enable the ndv rewrite")
+      assert(df.collect()(0).getLong(0) > 0)
+    } finally Options.set(adopted, "APPX_COUNT_DISTINCT", "0")
+    assert(!usesNdv(EngineSession.sql(adopted,
+      "SELECT count(DISTINCT id) AS a FROM range(10)")), "=0 must disable it")
+  }
+
   test("flag off: adopted session keeps exact semantics everywhere") {
     val sql = "SELECT count(DISTINCT id) AS a FROM range(100)"
     assert(!usesNdv(adopted.sql(sql)))

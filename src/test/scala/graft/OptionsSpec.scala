@@ -100,6 +100,28 @@ class OptionsSpec extends SparkSpec {
     assert(!Options.show(spark).contains("NUM_NODES"))
   }
 
+  test("UNSET restores the SESSION's pre-SET value, not Spark's global default") {
+    // ADVICE r8: with a deployment conf like
+    // SPARK_GRAFT_EXTRA_CONF="spark.sql.codegen.wholeStage=false", plain
+    // conf.unset on UNSET DISABLE_CODEGEN would silently turn codegen back
+    // ON. The stash must restore what the session actually had.
+    val orig = spark.conf.get("spark.sql.codegen.wholeStage")
+    // drop any stash a previous test's un-UNSET SET left behind
+    spark.conf.unset("spark.graft.stash.spark.sql.codegen.wholeStage")
+    spark.conf.set("spark.sql.codegen.wholeStage", "false") // deployment posture
+    try {
+      Options.set(spark, "DISABLE_CODEGEN", "false") // per-query: codegen on
+      assert(spark.conf.get("spark.sql.codegen.wholeStage") === "true")
+      Options.unset(spark, "DISABLE_CODEGEN")
+      assert(spark.conf.get("spark.sql.codegen.wholeStage") === "false",
+        "UNSET must restore the session's pre-SET posture, not the global default")
+      // second SET/UNSET cycle re-stashes from the restored value
+      Options.set(spark, "DISABLE_CODEGEN", "false")
+      Options.unset(spark, "DISABLE_CODEGEN")
+      assert(spark.conf.get("spark.sql.codegen.wholeStage") === "false")
+    } finally spark.conf.set("spark.sql.codegen.wholeStage", orig)
+  }
+
   test("summary: per-operator exec metrics off the final adaptive plan") {
     // impala_shell do_summary: after an action, every executed operator
     // reports with its row counts — through AQE's stage wrappers.

@@ -42,7 +42,7 @@ class FunctionSurfaceSpec extends SparkSpec {
     "rpad", "rtrim", "scale", "second", "seconds_add", "seconds_sub",
     "sign", "sin", "sleep", "space", "sqrt", "strleft", "strright",
     "subdate", "substr", "substring", "tan", "to_date", "to_utc_timestamp",
-    "translate", "trim", "trunc", "truncate", "ucase", "unhex",
+    "translate", "trim", "trunc", "truncate", "typeof", "ucase", "unhex",
     "unix_timestamp", "upper", "user", "version", "weekofyear",
     "weeks_add", "weeks_sub", "year", "years_add", "years_sub",
     "zeroifnull")
