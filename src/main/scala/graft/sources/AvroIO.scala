@@ -1,14 +1,15 @@
 package graft.sources
 
-import java.io.File
-
 import scala.jdk.CollectionConverters._
 
 import org.apache.avro.Schema
 import org.apache.avro.file.{DataFileReader, DataFileWriter}
 import org.apache.avro.generic.{GenericData, GenericDatumReader, GenericDatumWriter, GenericRecord}
+import org.apache.avro.mapred.FsInput
+import org.apache.hadoop.fs.{FileSystem, Path}
 import org.apache.spark.sql.{DataFrame, Row, SparkSession}
 import org.apache.spark.sql.types._
+import org.apache.spark.util.SerializableConfiguration
 
 /** Avro container-file source/sink built directly on `org.apache.avro`
   * (present on Spark's classpath) — the spark-avro connector is not in
@@ -72,18 +73,51 @@ object AvroIO {
       StructField(f.name, dt(f.schema), nullable = true)))
   }
 
-  /** Write each partition as one Avro container file under `dir`. */
+  /** Per-partition commit: promote a fully-written task-attempt temp file
+    * to its final name. `rename` is the atomic publish — a concurrent
+    * (speculative) or re-run attempt that loses the race sees `false`,
+    * drops its own temp, and succeeds iff SOME attempt committed the
+    * partition. Attempts never write the final name directly, so readers
+    * can never observe a half-written container. */
+  private[sources] def commitPartition(fs: FileSystem, temp: Path, dest: Path): Unit = {
+    if (!fs.rename(temp, dest)) {
+      fs.delete(temp, false)
+      if (!fs.exists(dest))
+        throw new java.io.IOException(
+          s"avro commit failed: rename $temp -> $dest returned false and no sibling attempt committed")
+    }
+  }
+
+  /** Write each partition as one Avro container file under `dir`.
+    *
+    * Cluster-safe commit protocol (the reference's sinks go through the
+    * HDFS rename-on-commit dance for the same reason —
+    * be/src/exec/hdfs-table-sink.cc): every task attempt writes through
+    * the Hadoop `FileSystem` for `dir` (NOT `java.io.File` — on a real
+    * cluster executor-local paths would silently land data off the target
+    * FS) to a per-ATTEMPT temp name, then renames into place via
+    * [[commitPartition]]. Retried and speculative attempts therefore never
+    * collide mid-write, and `_SUCCESS` only lands after every partition
+    * has committed and the temp dir is cleaned. */
   def write(df: DataFrame, dir: String): Unit = {
     val st = df.schema
     val schemaJson = toAvroSchema(st).toString
-    val out = new File(dir)
-    out.mkdirs()
-    val absDir = out.getAbsolutePath
-    // sum() forces every partition's write before the success marker lands
+    val sc = df.sparkSession.sparkContext
+    val hconf = new SerializableConfiguration(sc.hadoopConfiguration)
+    val outPath = new Path(dir)
+    val fsDriver = outPath.getFileSystem(hconf.value)
+    fsDriver.mkdirs(outPath)
+    val qualified = fsDriver.makeQualified(outPath).toString
+    // sum() forces every partition's commit before the success marker lands
     df.rdd.mapPartitionsWithIndex { (i, rows) =>
+      val dirPath = new Path(qualified)
+      val fs = dirPath.getFileSystem(hconf.value)
+      val attempt = Option(org.apache.spark.TaskContext.get())
+        .map(_.taskAttemptId()).getOrElse(0L)
+      val temp = new Path(dirPath, f"_temporary/attempt-$attempt%d-part-$i%05d.avro")
       val schema = new Schema.Parser().parse(schemaJson)
       val writer = new DataFileWriter(new GenericDatumWriter[GenericRecord](schema))
-      writer.create(schema, new File(absDir, f"part-$i%05d.avro"))
+      writer.create(schema, fs.create(temp, true))
       var n = 0L
       rows.foreach { r =>
         val rec = new GenericData.Record(schema)
@@ -103,9 +137,11 @@ object AvroIO {
         n += 1
       }
       writer.close()
+      commitPartition(fs, temp, new Path(dirPath, f"part-$i%05d.avro"))
       Iterator.single(n.toDouble)
     }.sum()
-    new java.io.FileOutputStream(new File(out, "_SUCCESS")).close()
+    fsDriver.delete(new Path(outPath, "_temporary"), true)
+    fsDriver.create(new Path(outPath, "_SUCCESS"), true).close()
   }
 
   /** Read the container files under `dir`. With `readSchema`, Avro schema
@@ -113,11 +149,17 @@ object AvroIO {
     * fields read as null); without it, the writer schema is the shape. */
   def read(spark: SparkSession, dir: String,
       readSchema: Option[StructType] = None): DataFrame = {
-    val files = Option(new File(dir).listFiles()).getOrElse(Array.empty)
-      .filter(_.getName.endsWith(".avro")).map(_.getAbsolutePath).sorted
+    val hconf = new SerializableConfiguration(spark.sparkContext.hadoopConfiguration)
+    val dirPath = new Path(dir)
+    val fsDriver = dirPath.getFileSystem(hconf.value)
+    val files = (if (fsDriver.exists(dirPath)) fsDriver.listStatus(dirPath)
+                 else Array.empty[org.apache.hadoop.fs.FileStatus])
+      .filter(s => s.isFile && s.getPath.getName.endsWith(".avro"))
+      .map(_.getPath.toString).sorted
     require(files.nonEmpty, s"no .avro files under $dir")
     val writerSchema = {
-      val r = new DataFileReader(new File(files.head), new GenericDatumReader[GenericRecord]())
+      val r = new DataFileReader(new FsInput(new Path(files.head), hconf.value),
+        new GenericDatumReader[GenericRecord]())
       try r.getSchema finally r.close()
     }
     val target = readSchema.getOrElse(toStructType(writerSchema))
@@ -126,7 +168,10 @@ object AvroIO {
     val fieldTypes: Array[DataType] = target.fields.map(_.dataType)
     val rdd = spark.sparkContext.parallelize(files.toSeq, files.length).flatMap { path =>
       val expected = new Schema.Parser().parse(readerJson)
-      val reader = new DataFileReader(new File(path),
+      // FsInput resolves the path against the SAME FileSystem the writer
+      // committed to — executors on a real cluster must not assume the
+      // container landed on their local disk.
+      val reader = new DataFileReader(new FsInput(new Path(path), hconf.value),
         new GenericDatumReader[GenericRecord](null, expected))
       // Lazy: decode one record per next() so task memory stays O(1) in the
       // container size; the reader closes as soon as the file drains. A

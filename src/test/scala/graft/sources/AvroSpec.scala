@@ -75,6 +75,49 @@ class AvroSpec extends SparkSpec {
     assert(first.length === 1)
   }
 
+  test("write commits through task-attempt temps: clean dir, _SUCCESS, orphans removed") {
+    import org.apache.hadoop.fs.Path
+    val dir = tmpDir("commit")
+    // orphan temp from a dead prior attempt must not survive the job
+    val fs = new Path(dir).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val orphan = new Path(dir, "_temporary/attempt-999-part-00099.avro")
+    val o = fs.create(orphan, true); o.write(1); o.close()
+    AvroIO.write(sample.coalesce(2), dir)
+    val names = new java.io.File(dir).listFiles().map(_.getName).sorted.toSeq
+    assert(names.contains("_SUCCESS"))
+    assert(!names.contains("_temporary"), s"temp dir must be cleaned, saw $names")
+    assert(names.count(_.endsWith(".avro")) === 2, s"one committed file per partition: $names")
+    assert(AvroIO.read(spark, dir).count() === sample.count())
+  }
+
+  test("commitPartition: losing concurrent attempt drops its temp; lost rename with no committed file throws") {
+    import org.apache.hadoop.fs.Path
+    val dir = tmpDir("race"); new java.io.File(dir).mkdirs()
+    val p = new Path(dir)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    def writeTemp(name: String): Path = {
+      val t = new Path(p, s"_temporary/$name")
+      val o = fs.create(t, true); o.write(7); o.close(); t
+    }
+    val dest = new Path(p, "part-00000.avro")
+    // speculation: two attempts each finished a COMPLETE file for the same
+    // partition; both commits must succeed, leaving exactly one published
+    // file and no temp (which attempt won is FS-dependent and immaterial —
+    // successful attempts produce identical partition content)
+    AvroIO.commitPartition(fs, writeTemp("attempt-1-part-00000.avro"), dest)
+    val loser = writeTemp("attempt-2-part-00000.avro")
+    AvroIO.commitPartition(fs, loser, dest) // must not throw
+    assert(!fs.exists(loser), "losing attempt's temp must be dropped")
+    assert(fs.exists(dest))
+    assert(fs.listStatus(new Path(p, "_temporary")).isEmpty)
+    // a failed rename with NO committed sibling is data loss — must throw
+    intercept[java.io.IOException] {
+      AvroIO.commitPartition(fs,
+        new Path(p, "_temporary/attempt-3-part-00042.avro"), // never written
+        new Path(p, "part-00042.avro"))
+    }
+  }
+
   test("binary columns roundtrip through avro bytes") {
     val dir = tmpDir("bytes")
     val df = spark.createDataFrame(
