@@ -13,6 +13,12 @@ collapsed -0.0 and ignored arrow types, which hid exactly the deltas the
 driver checks (LTZ vs naive timestamps, HUGEINT vs BIGINT sums, decimal
 scale). A local PASS must predict a driver PASS, so types are now part of
 both the schema check and the cell normalization.
+
+CHECK_CC_MODE=invariants switches q_dedup_components to the bounded
+structural-invariant oracle (tools/cc_invariants.py) instead of the SQL
+compare — the wired fallback for scales/corpora where even the r9
+inverted-index oracle SQL is too slow (the r8 all-pairs oracle could not
+run past sf0.1 at all; the structural mode is linear in the output).
 Dev-only tool; the shipped library is the Scala code under src/.
 """
 import sys, os, json, glob, hashlib
@@ -82,6 +88,15 @@ def main():
     for name, sql in sorted(oracle.items()):
         if only and name not in only: continue
         spark_dir = f"{out_dir}/{name}"
+        if name == "q_dedup_components" and \
+                os.environ.get("CHECK_CC_MODE") == "invariants":
+            import cc_invariants
+            ok = cc_invariants.validate(
+                spark_dir, sf_dir=sf_dir,
+                log=lambda m: print(f"  [cc] {m}"))
+            print(("PASS" if ok else "FAIL") + f" {name} (structural invariants)")
+            n_pass += ok; n_fail += (not ok)
+            continue
         files = glob.glob(f"{spark_dir}/*.parquet")
         if not files:
             print(f"FAIL {name}: no spark output"); n_fail += 1; continue
