@@ -2,6 +2,7 @@ package graft.queries
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
+import org.apache.spark.storage.StorageLevel
 
 import graft.Tables
 import graft.operators.{Dedup, Similarity, TextAnalysis, Multimodal}
@@ -751,12 +752,16 @@ object LlmOps {
     // frame bound to a stopped context. Entries of stopped contexts are
     // evicted on access so dead sessions don't pin persisted bookkeeping.
     clusterCache.filterInPlace((k, _) => !k._1.sparkContext.isStopped)
-    clusterCache.getOrElseUpdate((spark, dir), {
+    val c = clusterCache.getOrElseUpdate((spark, dir), {
       val docs = Tables.load(spark, dir, "documents")
-      val c = Dedup.minhashClustersPortable(docs, "text", "doc_id").persist()
-      c.count() // materialize now so the first caller pays the build once
-      c
+      Dedup.minhashClustersPortable(docs, "text", "doc_id")
     })
+    // (Re)materialize when not resident: Bench's between-entry
+    // clearCache (cache hygiene — sweep numbers must not inherit another
+    // entry's block-manager pressure) drops the persisted copy; the next
+    // caller pays the build once, outside its timed region.
+    if (c.storageLevel == StorageLevel.NONE) { c.persist(); c.count() }
+    c
   }
 
   /** Leakage-safe split over the portable minhash clusters: split
@@ -829,11 +834,11 @@ object LlmOps {
       // exact dedup: min-doc_id survivor per content hash
       val survivorIds = kept.groupBy(md5(col("clean")).as("fp"))
         .agg(min(col("doc_id")).as("doc_id"))
-      val s = kept.join(survivorIds.select(col("doc_id")), Seq("doc_id"), "left_semi")
-        .persist()
-      s.count() // materialize once, before the chain fans out over it
-      s
+      kept.join(survivorIds.select(col("doc_id")), Seq("doc_id"), "left_semi")
     })
+    // materialize once, before the chain fans out over it; re-persist when
+    // Bench's between-entry clearCache dropped the resident copy
+    if (survivors.storageLevel == StorageLevel.NONE) { survivors.persist(); survivors.count() }
     // near-dup dedup: keep only cluster representatives
     val clusters = Dedup.minhashClustersPortable(survivors, "clean", "doc_id")
     val reps = clusters.filter(!col("is_dup"))
