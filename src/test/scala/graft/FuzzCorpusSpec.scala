@@ -1,0 +1,108 @@
+package graft
+
+import java.nio.charset.StandardCharsets
+import java.nio.file.{Files, Paths}
+import java.security.MessageDigest
+
+import scala.jdk.CollectionConverters._
+
+/** Replays the committed differential-fuzz corpus through the engine and
+  * pins each query's (row count, canonical result hash).
+  *
+  * The corpus is generated seed-pinned by tools/fuzz.py (the Spark-era
+  * analogue of the reference's random query generator,
+  * tests/comparison/discrepancy_searcher.py + query_generator.py, which
+  * cross-checked random SELECTs against Postgres) and every query was
+  * hash-verified against DuckDB with the driver-calibrated comparator at
+  * generation time. This spec makes that agreement durable OFFLINE: any
+  * engine change that alters any of the 1000 results fails here without
+  * needing DuckDB in the loop. Re-establish the cross-engine agreement
+  * (and regenerate the pins) with:
+  *   python3 tools/fuzz.py --seed 42 --n 1000   # must exit 0
+  *   GRAFT_REGEN_FUZZ=1 sbt "testOnly graft.FuzzCorpusSpec"
+  *
+  * The hash is engine-side only (column-name-sorted, row-sorted, cell
+  * toString) — it need not match check.py's Python hash; cross-engine
+  * truth is fuzz.py's job, cross-run stability is this spec's.
+  */
+class FuzzCorpusSpec extends SparkSpec {
+
+  private val corpusPath = Paths.get("src/test/resources/fuzz/corpus_seed42.jsonl")
+  private val goldenPath = Paths.get("src/test/resources/golden/fuzz_seed42.golden")
+  private val regen = sys.env.contains("GRAFT_REGEN_FUZZ")
+  private val sfDir = "/root/testdata/sf0.001"
+
+  private def corpus: Seq[(String, String)] = {
+    import spark.implicits._
+    spark.read.json(corpusPath.toString)
+      .select("name", "sql").as[(String, String)].collect().toSeq.sortBy(_._1)
+  }
+
+  /** Deterministic engine-side signature: columns sorted by name, cells
+    * rendered with type-stable text, rows sorted, sha256. */
+  private def signature(df: org.apache.spark.sql.DataFrame): (Long, String) = {
+    val names = df.columns.sorted
+    val ordered = df.select(names.map(org.apache.spark.sql.functions.col): _*)
+    val rows = ordered.collect().map { r =>
+      (0 until r.length).map { i =>
+        r.get(i) match {
+          case null => "NULL"
+          case d: Double => if (d.isNaN) "NaN" else d.toString
+          case f: Float => if (f.isNaN) "NaN" else f.toString
+          case other => other.toString
+        }
+      }.mkString("")
+    }.sorted
+    val md = MessageDigest.getInstance("SHA-256")
+    rows.foreach { r => md.update(r.getBytes(StandardCharsets.UTF_8)); md.update('\n'.toByte) }
+    (rows.length.toLong, md.digest().map("%02x".format(_)).mkString)
+  }
+
+  private lazy val actual: Map[String, (Long, String)] = {
+    // registerAll, not ensureViews: the shared test session may have had a
+    // fixture view overwritten by another suite without the memo knowing.
+    Tables.registerAll(spark, sfDir)
+    corpus.map { case (name, sql) =>
+      name -> signature(EngineSession.sql(spark, sql))
+    }.toMap
+  }
+
+  private def loadGolden(): Map[String, (Long, String)] = {
+    assert(Files.exists(goldenPath),
+      s"$goldenPath missing — regenerate with GRAFT_REGEN_FUZZ=1")
+    Files.readAllLines(goldenPath, StandardCharsets.UTF_8).asScala
+      .map(_.trim).filter(l => l.nonEmpty && !l.startsWith("#"))
+      .map { l =>
+        val Array(name, n, h) = l.split("\t", 3)
+        name -> (n.toLong, h)
+      }.toMap
+  }
+
+  if (regen) {
+    test("regenerate fuzz corpus goldens") {
+      val header = Seq(
+        "# Engine result pins for the seed-42 differential-fuzz corpus at sf0.001.",
+        "# Columns: name<TAB>rowcount<TAB>sha256. Regenerate ONLY after",
+        "# `python3 tools/fuzz.py --seed 42 --n 1000` exits 0 (DuckDB agreement):",
+        "#   GRAFT_REGEN_FUZZ=1 sbt 'testOnly graft.FuzzCorpusSpec'")
+      val lines = actual.toSeq.sortBy(_._1)
+        .map { case (n, (c, h)) => s"$n\t$c\t$h" }
+      Files.createDirectories(goldenPath.getParent)
+      Files.write(goldenPath, (header ++ lines).asJava, StandardCharsets.UTF_8)
+      info(s"wrote ${lines.size} pins to $goldenPath")
+    }
+  } else {
+    test("fuzz corpus replays with pinned results") {
+      val golden = loadGolden()
+      assert(golden.size === corpus.size,
+        s"corpus/golden drift: ${corpus.size} queries vs ${golden.size} pins")
+      val bad = actual.collect {
+        case (name, got) if golden.get(name).exists(_ != got) =>
+          s"$name: got rows=${got._1} hash=${got._2.take(12)}.. " +
+            s"expected rows=${golden(name)._1} hash=${golden(name)._2.take(12)}.."
+      }
+      assert(bad.isEmpty,
+        s"${bad.size} corpus queries drifted:\n  " + bad.take(10).mkString("\n  "))
+    }
+  }
+}

@@ -1,0 +1,529 @@
+#!/usr/bin/env python3
+"""Differential query fuzzer: random-but-seeded SQL over the fixture
+schema, executed by BOTH the engine (graft.FuzzRunner -> parquet) and
+DuckDB, compared with the same driver-calibrated signature as
+tools/check.py (cols sorted by name, rows sorted, type-tagged hash).
+
+The reference ships the same idea as its random query generator
+(tests/comparison/discrepancy_searcher.py + query_generator.py, which
+cross-checks Impala against Postgres on random SELECTs); this is the
+Spark-era analogue, and it is the correctness ratchet the golden catalog
+can't provide: COMPOSITION coverage (joins x aggs x windows x set-ops x
+subqueries) far beyond the ~126 hand-written entries.
+
+Dialect envelope — every emitted query is valid, DETERMINISTIC and
+semantically identical in Spark SQL and DuckDB by construction:
+  - integer sums wrapped CAST(SUM(e) AS BIGINT) (DuckDB sums to HUGEINT,
+    which arrows as decimal128 and would fail the type gate);
+  - doubles appear only in comparisons and MIN/MAX/COUNT (exact IEEE
+    semantics both sides); no SUM/AVG(double) — float-accumulation
+    parity is FunctionCorpus territory (Parity.dsum), not composition;
+  - || for concat (null-safe in both; concat() is not), explicit NULLS
+    FIRST on every ORDER BY (defaults differ), LIMIT only under a total
+    order (ORDER BY every output column);
+  - timestamps: compared against TIMESTAMP literals, projected only as
+    CAST(.. AS DATE) (naive-vs-UTC arrow tags differ on raw projection);
+  - % and / only by nonzero literals (both C-style sign, / is float div
+    of ints in both).
+
+Usage:
+  python3 tools/fuzz.py [--seed 42] [--n 1000] [--sf /root/testdata/sf0.001]
+                        [--out /tmp/fuzz] [--skip-engine] [--corpus-only]
+Exit 0 iff every query hash-matches.
+"""
+import argparse, hashlib, json, os, random, subprocess, sys
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+from check import table_sig  # the driver-calibrated comparator
+
+import duckdb
+import pyarrow.parquet as pq
+
+# ---------------------------------------------------------------- schema
+TABLES = {
+    "lineitem": dict(
+        ints=["l_orderkey", "l_partkey", "l_suppkey", "l_linenumber"],
+        strs=["l_returnflag", "l_linestatus"],
+        dbls=["l_quantity", "l_extendedprice", "l_discount", "l_tax"],
+        # NOTE: (l_orderkey, l_linenumber) is NOT unique in the synthetic
+        # data (1161 duplicate pairs at sf0.001) — verify_unique() will
+        # drop any declared key that doesn't hold, which excludes the
+        # table from window generation (window ORDER BY must be TOTAL or
+        # LAG/frames are legitimately nondeterministic — found by this
+        # fuzzer's first 1000-query run, 2/1000 divergences).
+        ts=["l_shipdate"], uniq=[]),
+    "orders": dict(
+        ints=["o_orderkey", "o_custkey"],
+        strs=["o_orderstatus", "o_orderpriority"],
+        dbls=["o_totalprice"], ts=["o_orderdate"], uniq=["o_orderkey"]),
+    "customer": dict(
+        ints=["c_custkey", "c_nationkey"], strs=["c_name", "c_mktsegment"],
+        dbls=["c_acctbal"], ts=[], uniq=["c_custkey"]),
+    "supplier": dict(
+        ints=["s_suppkey", "s_nationkey"], strs=["s_name"],
+        dbls=["s_acctbal"], ts=[], uniq=["s_suppkey"]),
+    "part": dict(
+        ints=["p_partkey", "p_size"], strs=["p_name", "p_brand", "p_type"],
+        dbls=["p_retailprice"], ts=[], uniq=["p_partkey"]),
+    "nation": dict(
+        ints=["n_nationkey", "n_regionkey"], strs=["n_name"], dbls=[],
+        ts=[], uniq=["n_nationkey"]),
+    "region": dict(
+        ints=["r_regionkey"], strs=["r_name"], dbls=[], ts=[],
+        uniq=["r_regionkey"]),
+}
+# FK equi-edges (child, parent, child_col, parent_col)
+EDGES = [
+    ("lineitem", "orders", "l_orderkey", "o_orderkey"),
+    ("lineitem", "part", "l_partkey", "p_partkey"),
+    ("lineitem", "supplier", "l_suppkey", "s_suppkey"),
+    ("orders", "customer", "o_custkey", "c_custkey"),
+    ("customer", "nation", "c_nationkey", "n_nationkey"),
+    ("supplier", "nation", "s_nationkey", "n_nationkey"),
+    ("nation", "region", "n_regionkey", "r_regionkey"),
+]
+JOIN_TYPES = ["JOIN", "LEFT JOIN", "RIGHT JOIN", "FULL JOIN"]
+
+
+def verify_unique(con):
+    """Window ORDER BY keys must be TOTAL orders or the query is
+    legitimately nondeterministic in both engines. Trust nothing: check
+    every declared unique key against the actual data at this SF and
+    drop any that fails (the table then generates no window queries)."""
+    for t, cols in TABLES.items():
+        if not cols["uniq"]:
+            continue
+        k = ", ".join(cols["uniq"])
+        dups = con.execute(
+            f"SELECT count(*) FROM (SELECT {k} FROM {t} "
+            f"GROUP BY {k} HAVING count(*) > 1)").fetchone()[0]
+        if dups:
+            print(f"[fuzz] note: {t} key ({k}) has {dups} duplicate "
+                  f"groups — excluded from window generation")
+            cols["uniq"] = []
+
+
+def sample_literals(con, sf_dir):
+    """Deterministic per-column literal pools drawn from the data, so
+    generated predicates hit non-degenerate selectivities at any SF."""
+    pools = {}
+    for t, cols in TABLES.items():
+        for kind in ("ints", "strs", "dbls", "ts"):
+            for c in cols[kind]:
+                rows = con.execute(
+                    f"SELECT DISTINCT {c} FROM {t} WHERE {c} IS NOT NULL "
+                    f"ORDER BY {c} LIMIT 41").fetchall()
+                vals = [r[0] for r in rows]
+                step = max(1, len(vals) // 8)
+                pools[(t, c)] = vals[::step][:8] or vals
+    return pools
+
+
+class Gen:
+    def __init__(self, rng, pools):
+        self.rng, self.pools = rng, pools
+
+    # ----------------------------------------------------------- helpers
+    def pick(self, xs):
+        return xs[self.rng.randrange(len(xs))]
+
+    def lit_of(self, t, c, kind):
+        pool = self.pools.get((t, c)) or []
+        if not pool:
+            return "1" if kind == "int" else "'x'"
+        v = self.pick(pool)
+        if kind == "int":
+            return str(int(v))
+        if kind == "str":
+            return "'" + str(v).replace("'", "''") + "'"
+        if kind == "dbl":
+            return repr(float(v))
+        return f"TIMESTAMP '{v}'"  # ts
+
+    # --------------------------------------------------- expressions
+    def int_expr(self, cols, depth=2):
+        """cols: list of (table, col) int columns in scope."""
+        if depth <= 0 or self.rng.random() < 0.45:
+            if self.rng.random() < 0.8 and cols:
+                t, c = self.pick(cols)
+                return f"{t}.{c}"
+            return str(self.rng.randrange(1, 50))
+        r = self.rng.random()
+        a = self.int_expr(cols, depth - 1)
+        if r < 0.22:
+            return f"({a} + {self.int_expr(cols, depth - 1)})"
+        if r < 0.38:
+            return f"({a} - {self.int_expr(cols, depth - 1)})"
+        if r < 0.50:
+            return f"({a} * {self.rng.randrange(2, 8)})"
+        if r < 0.62:
+            return f"({a} % {self.rng.randrange(2, 14)})"
+        if r < 0.72:
+            return f"abs({a})"
+        if r < 0.82:
+            b = self.int_expr(cols, depth - 1)
+            fn = self.pick(["greatest", "least"])
+            return f"{fn}({a}, {b})"
+        return (f"(CASE WHEN {a} > {self.rng.randrange(0, 40)} "
+                f"THEN {self.int_expr(cols, depth - 1)} "
+                f"ELSE {self.int_expr(cols, depth - 1)} END)")
+
+    def str_expr(self, cols, depth=1):
+        if not cols:
+            return "'k'"
+        t, c = self.pick(cols)
+        base = f"{t}.{c}"
+        if depth <= 0 or self.rng.random() < 0.5:
+            return base
+        r = self.rng.random()
+        if r < 0.25:
+            return f"upper({base})"
+        if r < 0.5:
+            return f"lower({base})"
+        if r < 0.75:
+            j = self.rng.randrange(1, 4)
+            return f"substr({base}, {j}, {self.rng.randrange(1, 9)})"
+        return f"({base} || {self.str_expr(cols, 0)})"
+
+    def predicate(self, scope, depth=2):
+        """scope: dict table -> TABLES[table] restricted to in-scope tables."""
+        tabs = list(scope)
+        if depth > 0 and self.rng.random() < 0.4:
+            a = self.predicate(scope, depth - 1)
+            b = self.predicate(scope, depth - 1)
+            op = self.pick(["AND", "AND", "OR"])
+            neg = "NOT " if self.rng.random() < 0.12 else ""
+            return f"{neg}({a} {op} {b})"
+        t = self.pick(tabs)
+        cols = scope[t]
+        r = self.rng.random()
+        if cols["ints"] and r < 0.40:
+            c = self.pick(cols["ints"])
+            op = self.pick(["<", "<=", "=", "<>", ">", ">="])
+            if self.rng.random() < 0.25:
+                lo = self.lit_of(t, c, "int")
+                hi = self.lit_of(t, c, "int")
+                return f"{t}.{c} BETWEEN least({lo},{hi}) AND greatest({lo},{hi})"
+            if self.rng.random() < 0.25:
+                lits = ", ".join(self.lit_of(t, c, "int") for _ in range(3))
+                return f"{t}.{c} IN ({lits})"
+            return f"{t}.{c} {op} {self.lit_of(t, c, 'int')}"
+        if cols["strs"] and r < 0.70:
+            c = self.pick(cols["strs"])
+            if self.rng.random() < 0.35:
+                v = self.lit_of(t, c, "str").strip("'")
+                pat = self.pick([f"{v[:2]}%", f"%{v[-2:]}", f"%{v[1:3]}%",
+                                 f"{v[:1]}_%"]) if len(v) >= 3 else f"{v}%"
+                return f"{t}.{c} LIKE '{pat}'"
+            op = self.pick(["=", "<>", "<", ">"])
+            return f"{t}.{c} {op} {self.lit_of(t, c, 'str')}"
+        if cols["dbls"] and r < 0.9:
+            c = self.pick(cols["dbls"])
+            op = self.pick(["<", "<=", ">", ">="])
+            return f"{t}.{c} {op} {self.lit_of(t, c, 'dbl')}"
+        if cols["ts"]:
+            c = self.pick(cols["ts"])
+            op = self.pick(["<", ">=", ">"])
+            return f"{t}.{c} {op} {self.lit_of(t, c, 'ts')}"
+        if cols["ints"]:
+            c = self.pick(cols["ints"])
+            return f"{t}.{c} >= {self.lit_of(t, c, 'int')}"
+        return "1 = 1"
+
+    # ------------------------------------------------------ FROM clause
+    def from_clause(self, n_joins):
+        """Random connected subtree of the FK graph; returns (sql, scope)."""
+        start = self.pick(list(TABLES))
+        used = {start}
+        sql = start
+        for _ in range(n_joins):
+            cand = [e for e in EDGES
+                    if (e[0] in used) != (e[1] in used)]
+            if not cand:
+                break
+            c, p, ck, pk = self.pick(cand)
+            new = p if c in used else c
+            jt = self.pick(JOIN_TYPES)
+            sql += f" {jt} {new} ON {c}.{ck} = {p}.{pk}"
+            used.add(new)
+        return sql, {t: TABLES[t] for t in used}
+
+    def int_cols(self, scope):
+        return [(t, c) for t in scope for c in scope[t]["ints"]]
+
+    def str_cols(self, scope):
+        return [(t, c) for t in scope for c in scope[t]["strs"]]
+
+    # ------------------------------------------------------- query kinds
+    def q_select(self):
+        """Select-project-filter, optional DISTINCT / total-order LIMIT."""
+        frm, scope = self.from_clause(self.rng.randrange(0, 3))
+        ic, sc = self.int_cols(scope), self.str_cols(scope)
+        projs = []
+        for i in range(self.rng.randrange(2, 5)):
+            r = self.rng.random()
+            if r < 0.45 or not sc:
+                projs.append(f"{self.int_expr(ic)} AS c{i}")
+            elif r < 0.8:
+                projs.append(f"{self.str_expr(sc)} AS c{i}")
+            else:
+                t = self.pick([t for t in scope
+                               if scope[t]["dbls"] or scope[t]["ts"]]
+                              or list(scope))
+                if scope[t]["ts"] and (self.rng.random() < 0.4 or
+                                       not scope[t]["dbls"]):
+                    c = self.pick(scope[t]["ts"])
+                    projs.append(f"CAST({t}.{c} AS DATE) AS c{i}")
+                elif scope[t]["dbls"]:
+                    c = self.pick(scope[t]["dbls"])
+                    projs.append(f"{t}.{c} AS c{i}")
+                else:
+                    projs.append(f"{self.int_expr(ic)} AS c{i}")
+        distinct = "DISTINCT " if self.rng.random() < 0.25 else ""
+        sql = (f"SELECT {distinct}{', '.join(projs)} FROM {frm} "
+               f"WHERE {self.predicate(scope)}")
+        if self.rng.random() < 0.3:
+            order = ", ".join(f"c{i} NULLS FIRST" for i in range(len(projs)))
+            sql += f" ORDER BY {order} LIMIT {self.rng.randrange(5, 200)}"
+        return sql
+
+    def agg_fn(self, ic, scope):
+        r = self.rng.random()
+        if r < 0.3:
+            return f"CAST(SUM({self.int_expr(ic)}) AS BIGINT)"
+        if r < 0.45:
+            return "COUNT(*)"
+        if r < 0.6:
+            return f"COUNT(DISTINCT {self.int_expr(ic, 1)})"
+        if r < 0.75:
+            return f"{self.pick(['MIN', 'MAX'])}({self.int_expr(ic, 1)})"
+        dbls = [(t, c) for t in scope for c in scope[t]["dbls"]]
+        if dbls and r < 0.9:
+            t, c = self.pick(dbls)
+            return f"{self.pick(['MIN', 'MAX'])}({t}.{c})"
+        sc = self.str_cols(scope)
+        if sc:
+            t, c = self.pick(sc)
+            return f"{self.pick(['MIN', 'MAX', 'COUNT'])}({t}.{c})"
+        return "COUNT(*)"
+
+    def q_agg(self):
+        frm, scope = self.from_clause(self.rng.randrange(0, 4))
+        ic, sc = self.int_cols(scope), self.str_cols(scope)
+        keys = []
+        for i in range(self.rng.randrange(0, 3)):
+            if sc and self.rng.random() < 0.6:
+                keys.append(self.str_expr(sc, 0))
+            elif ic:
+                t, c = self.pick(ic)
+                keys.append(f"({t}.{c} % {self.rng.randrange(2, 20)})"
+                            if self.rng.random() < 0.5 else f"{t}.{c}")
+        aggs = [self.agg_fn(ic, scope)
+                for _ in range(self.rng.randrange(1, 4))]
+        projs = [f"{k} AS g{i}" for i, k in enumerate(keys)] + \
+                [f"{a} AS a{i}" for i, a in enumerate(aggs)]
+        sql = (f"SELECT {', '.join(projs)} FROM {frm} "
+               f"WHERE {self.predicate(scope, 1)}")
+        if keys:
+            sql += " GROUP BY " + ", ".join(keys)
+            if self.rng.random() < 0.4:
+                sql += f" HAVING COUNT(*) > {self.rng.randrange(0, 4)}"
+        return sql
+
+    def q_window(self):
+        t = self.pick([x for x in TABLES if TABLES[x]["uniq"]])
+        scope = {t: TABLES[t]}
+        ic = self.int_cols(scope)
+        uniq = ", ".join(f"{t}.{c}" for c in TABLES[t]["uniq"])
+        part = ""
+        if TABLES[t]["strs"] and self.rng.random() < 0.8:
+            part = f"PARTITION BY {self.str_expr(self.str_cols(scope), 0)} "
+        # deterministic order: optional non-unique prefix + unique key tail
+        prefix = ""
+        if ic and self.rng.random() < 0.5:
+            tt, c = self.pick(ic)
+            prefix = f"({tt}.{c} % 7), "
+        over = f"({part}ORDER BY {prefix}{uniq})"
+        r = self.rng.random()
+        if r < 0.3:
+            w = f"ROW_NUMBER() OVER {over}"
+        elif r < 0.5:
+            w = f"{self.pick(['RANK', 'DENSE_RANK'])}() OVER {over}"
+        elif r < 0.7:
+            fn = self.pick(["LAG", "LEAD"])
+            w = f"{fn}({self.int_expr(ic, 1)}, 1, 0) OVER {over}"
+        else:
+            frame = self.pick([
+                "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW",
+                f"ROWS BETWEEN {self.rng.randrange(1, 5)} PRECEDING "
+                f"AND CURRENT ROW"])
+            over = f"({part}ORDER BY {prefix}{uniq} {frame})"
+            w = f"CAST(SUM({self.int_expr(ic, 1)}) OVER {over} AS BIGINT)"
+        keys = ", ".join(f"{t}.{c} AS k{i}"
+                         for i, c in enumerate(TABLES[t]["uniq"]))
+        return (f"SELECT {keys}, {w} AS w0 FROM {t} "
+                f"WHERE {self.predicate(scope, 1)}")
+
+    def q_setop(self):
+        t = self.pick(list(TABLES))
+        scope = {t: TABLES[t]}
+        ic, sc = self.int_cols(scope), self.str_cols(scope)
+        projs = []
+        for i in range(self.rng.randrange(1, 3)):
+            projs.append(f"{self.int_expr(ic, 1)} AS c{i}" if not sc or
+                         self.rng.random() < 0.5
+                         else f"{self.str_expr(sc, 0)} AS c{i}")
+        op = self.pick(["UNION ALL", "UNION", "INTERSECT", "EXCEPT"])
+        p = ", ".join(projs)
+        return (f"SELECT {p} FROM {t} WHERE {self.predicate(scope, 1)} "
+                f"{op} SELECT {p} FROM {t} WHERE {self.predicate(scope, 1)}")
+
+    def q_subquery(self):
+        child, parent, ck, pk = self.pick(EDGES)
+        outer, inner = ((child, parent) if self.rng.random() < 0.5
+                        else (parent, child))
+        okey = ck if outer == child else pk
+        ikey = pk if outer == child else ck
+        oscope = {outer: TABLES[outer]}
+        iscope = {inner: TABLES[inner]}
+        ic = self.int_cols(oscope)
+        projs = ", ".join(f"{self.int_expr(ic, 1)} AS c{i}"
+                          for i in range(2))
+        r = self.rng.random()
+        if r < 0.35:
+            sub = (f"{outer}.{okey} IN (SELECT {inner}.{ikey} FROM {inner} "
+                   f"WHERE {self.predicate(iscope, 1)})")
+        elif r < 0.55:
+            sub = (f"{outer}.{okey} NOT IN (SELECT {inner}.{ikey} "
+                   f"FROM {inner} WHERE {self.predicate(iscope, 1)})")
+        elif r < 0.85:
+            neg = "NOT " if self.rng.random() < 0.4 else ""
+            sub = (f"{neg}EXISTS (SELECT 1 FROM {inner} WHERE "
+                   f"{inner}.{ikey} = {outer}.{okey} AND "
+                   f"{self.predicate(iscope, 1)})")
+        else:
+            iic = self.int_cols(iscope)
+            agg = self.pick(["MIN", "MAX"])
+            tt, cc = self.pick(iic)
+            sub = (f"{outer}.{okey} <= (SELECT {agg}({tt}.{cc}) "
+                   f"FROM {inner} WHERE {self.predicate(iscope, 1)})")
+        return (f"SELECT {projs} FROM {outer} WHERE {sub} "
+                f"AND {self.predicate(oscope, 1)}")
+
+    def query(self):
+        r = self.rng.random()
+        if r < 0.22: return self.q_select()
+        if r < 0.50: return self.q_agg()
+        if r < 0.65: return self.q_window()
+        if r < 0.80: return self.q_setop()
+        return self.q_subquery()
+
+
+def gen_corpus(seed, n, sf_dir):
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM "
+                    f"read_parquet('{sf_dir}/{t}.parquet')")
+    verify_unique(con)
+    g = Gen(random.Random(seed), sample_literals(con, sf_dir))
+    out, seen = [], set()
+    i = 0
+    while len(out) < n:
+        sql = g.query()
+        i += 1
+        if sql in seen:
+            continue
+        seen.add(sql)
+        out.append({"name": f"f{seed}_{len(out):04d}", "sql": sql})
+    con.close()
+    return out
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--seed", type=int, default=42)
+    ap.add_argument("--n", type=int, default=1000)
+    ap.add_argument("--sf", default="/root/testdata/sf0.001")
+    ap.add_argument("--out", default="/tmp/fuzz")
+    ap.add_argument("--corpus-only", action="store_true",
+                    help="write queries.jsonl and exit")
+    ap.add_argument("--skip-engine", action="store_true",
+                    help="reuse an existing engine output dir")
+    ap.add_argument("--max-print", type=int, default=8)
+    a = ap.parse_args()
+
+    os.makedirs(a.out, exist_ok=True)
+    corpus = gen_corpus(a.seed, a.n, a.sf)
+    qfile = f"{a.out}/queries.jsonl"
+    with open(qfile, "w") as f:
+        for q in corpus:
+            f.write(json.dumps(q) + "\n")
+    print(f"[fuzz] wrote {len(corpus)} queries -> {qfile}")
+    if a.corpus_only:
+        return
+
+    eng_dir = f"{a.out}/engine"
+    if not a.skip_engine:
+        env = dict(os.environ, SPARK_GRAFT_SF_DIR=a.sf)
+        rc = subprocess.run(
+            ["sbt", "-batch", f"runMain graft.FuzzRunner {qfile} {eng_dir}"],
+            env=env, cwd=os.path.dirname(os.path.dirname(
+                os.path.abspath(__file__)))).returncode
+        if rc != 0:
+            print(f"[fuzz] engine run failed rc={rc}"); sys.exit(2)
+
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM "
+                    f"read_parquet('{a.sf}/{t}.parquet')")
+    errors = [json.loads(l) for l in
+              open(f"{eng_dir}/errors.json")] if \
+        os.path.exists(f"{eng_dir}/errors.json") else []
+    err_names = {e["name"] for e in errors}
+    n_pass = n_fail = 0
+    fails = []
+    for q in corpus:
+        name, sql = q["name"], q["sql"]
+        if name in err_names:
+            n_fail += 1; fails.append((name, "engine_error", sql)); continue
+        try:
+            dtbl = con.execute(sql).fetch_arrow_table()
+        except Exception as e:
+            n_fail += 1; fails.append((name, f"duckdb_error: {e}", sql))
+            continue
+        stbl = pq.read_table(f"{eng_dir}/{name}.parquet")
+        sh, scols, stypes, sn, srows = table_sig(stbl)
+        dh, dcols, dtypes, dn, drows = table_sig(dtbl)
+        if (scols, stypes, sn, sh) == (dcols, dtypes, dn, dh):
+            n_pass += 1
+        else:
+            n_fail += 1
+            why = ("cols" if scols != dcols else
+                   "types" if stypes != dtypes else
+                   f"rows {sn} vs {dn}" if sn != dn else "hash")
+            detail = ""
+            if why == "types":
+                detail = "; ".join(f"{c}: {stypes[c]} vs {dtypes[c]}"
+                                   for c in scols if stypes[c] != dtypes[c])
+            elif why == "hash":
+                for x, y in zip(srows, drows):
+                    if x != y:
+                        detail = (f"spark={x.replace(chr(1), ' | ')} "
+                                  f"duck={y.replace(chr(1), ' | ')}")
+                        break
+            fails.append((name, f"{why} {detail}".strip(), sql))
+    print(f"[fuzz] seed={a.seed} n={len(corpus)} sf={a.sf}: "
+          f"{n_pass} pass, {n_fail + len(err_names)} fail "
+          f"({len(err_names)} engine errors)")
+    for name, why, sql in fails[:a.max_print]:
+        print(f"  FAIL {name}: {why}\n    {sql}")
+    with open(f"{a.out}/results.json", "w") as f:
+        json.dump({"seed": a.seed, "n": len(corpus), "sf": a.sf,
+                   "pass": n_pass, "fail": n_fail,
+                   "fails": [{"name": n, "why": w, "sql": s}
+                             for n, w, s in fails]}, f, indent=1)
+    sys.exit(1 if n_fail else 0)
+
+
+if __name__ == "__main__":
+    main()
