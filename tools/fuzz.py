@@ -26,6 +26,16 @@ semantically identical in Spark SQL and DuckDB by construction:
   - % and / only by nonzero literals (both C-style sign, / is float div
     of ints in both).
 
+Grammar v2 (seed-43 corpus) adds, still inside the envelope:
+ROLLUP/CUBE/GROUPING SETS, aggregate FILTER (WHERE ...) clauses,
+HAVING on summed values, CTE pipelines (WITH agg AS ... re-filtered /
+re-unioned), uncorrelated scalar subqueries in projections,
+NTILE/FIRST_VALUE/LAST_VALUE and RANGE frames, INTERSECT ALL /
+EXCEPT ALL, EXTRACT(YEAR|MONTH|DAY FROM ts) and trim/replace string
+leaves. Committed corpora are self-contained JSONL — replay never
+re-runs the generator, so grammar growth can't silently drift an
+already-committed corpus.
+
 Usage:
   python3 tools/fuzz.py [--seed 42] [--n 1000] [--sf /root/testdata/sf0.001]
                         [--out /tmp/fuzz] [--skip-engine] [--corpus-only]
@@ -176,13 +186,18 @@ class Gen:
         if depth <= 0 or self.rng.random() < 0.5:
             return base
         r = self.rng.random()
-        if r < 0.25:
+        if r < 0.2:
             return f"upper({base})"
-        if r < 0.5:
+        if r < 0.4:
             return f"lower({base})"
-        if r < 0.75:
+        if r < 0.6:
             j = self.rng.randrange(1, 4)
             return f"substr({base}, {j}, {self.rng.randrange(1, 9)})"
+        if r < 0.7:
+            return f"trim({base})"
+        if r < 0.8:
+            a = self.pick("aeorst")
+            return f"replace({base}, '{a}', '{self.pick('xyz_')}')"
         return f"({base} || {self.str_expr(cols, 0)})"
 
     def predicate(self, scope, depth=2):
@@ -273,12 +288,27 @@ class Gen:
                 if scope[t]["ts"] and (self.rng.random() < 0.4 or
                                        not scope[t]["dbls"]):
                     c = self.pick(scope[t]["ts"])
-                    projs.append(f"CAST({t}.{c} AS DATE) AS c{i}")
+                    if self.rng.random() < 0.35:
+                        part = self.pick(["YEAR", "MONTH", "DAY"])
+                        projs.append(
+                            f"CAST(EXTRACT({part} FROM {t}.{c}) AS BIGINT)"
+                            f" AS c{i}")
+                    else:
+                        projs.append(f"CAST({t}.{c} AS DATE) AS c{i}")
                 elif scope[t]["dbls"]:
                     c = self.pick(scope[t]["dbls"])
                     projs.append(f"{t}.{c} AS c{i}")
                 else:
                     projs.append(f"{self.int_expr(ic)} AS c{i}")
+        if self.rng.random() < 0.15:
+            # uncorrelated scalar subquery as an extra projected column
+            st = self.pick([t for t in TABLES if TABLES[t]["ints"]])
+            sic = [(st, c) for c in TABLES[st]["ints"]]
+            agg = self.pick(["MIN", "MAX"])
+            tt, cc = self.pick(sic)
+            projs.append(
+                f"(SELECT {agg}({tt}.{cc}) FROM {st} "
+                f"WHERE {self.predicate({st: TABLES[st]}, 1)}) AS c{len(projs)}")
         distinct = "DISTINCT " if self.rng.random() < 0.25 else ""
         sql = (f"SELECT {distinct}{', '.join(projs)} FROM {frm} "
                f"WHERE {self.predicate(scope)}")
@@ -289,6 +319,12 @@ class Gen:
 
     def agg_fn(self, ic, scope):
         r = self.rng.random()
+        if r < 0.1:
+            # aggregate FILTER clause (identical per-row semantics in both)
+            flt = f" FILTER (WHERE {self.predicate(scope, 0)})"
+            if self.rng.random() < 0.5:
+                return f"CAST(SUM({self.int_expr(ic, 1)}){flt} AS BIGINT)"
+            return f"COUNT(*){flt}"
         if r < 0.3:
             return f"CAST(SUM({self.int_expr(ic)}) AS BIGINT)"
         if r < 0.45:
@@ -325,9 +361,21 @@ class Gen:
         sql = (f"SELECT {', '.join(projs)} FROM {frm} "
                f"WHERE {self.predicate(scope, 1)}")
         if keys:
-            sql += " GROUP BY " + ", ".join(keys)
+            kl = ", ".join(keys)
+            r = self.rng.random()
+            if len(keys) >= 2 and r < 0.22:
+                form = self.pick([f"ROLLUP({kl})", f"CUBE({kl})",
+                                  "GROUPING SETS ((" + kl + "), ("
+                                  + keys[0] + "), ())"])
+                sql += f" GROUP BY {form}"
+            else:
+                sql += f" GROUP BY {kl}"
             if self.rng.random() < 0.4:
-                sql += f" HAVING COUNT(*) > {self.rng.randrange(0, 4)}"
+                if self.rng.random() < 0.5:
+                    sql += f" HAVING COUNT(*) > {self.rng.randrange(0, 4)}"
+                else:
+                    sql += (f" HAVING CAST(SUM({self.int_expr(ic, 1)}) AS "
+                            f"BIGINT) > {self.rng.randrange(0, 5000)}")
         return sql
 
     def q_window(self):
@@ -345,16 +393,28 @@ class Gen:
             prefix = f"({tt}.{c} % 7), "
         over = f"({part}ORDER BY {prefix}{uniq})"
         r = self.rng.random()
-        if r < 0.3:
+        if r < 0.22:
             w = f"ROW_NUMBER() OVER {over}"
-        elif r < 0.5:
+        elif r < 0.38:
             w = f"{self.pick(['RANK', 'DENSE_RANK'])}() OVER {over}"
-        elif r < 0.7:
+        elif r < 0.50:
+            w = f"NTILE({self.rng.randrange(2, 8)}) OVER {over}"
+        elif r < 0.66:
             fn = self.pick(["LAG", "LEAD"])
             w = f"{fn}({self.int_expr(ic, 1)}, 1, 0) OVER {over}"
+        elif r < 0.78:
+            if self.rng.random() < 0.5:
+                frame = "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW"
+                fn = "FIRST_VALUE"
+            else:
+                frame = "ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING"
+                fn = "LAST_VALUE"
+            over = f"({part}ORDER BY {prefix}{uniq} {frame})"
+            w = f"{fn}({self.int_expr(ic, 1)}) OVER {over}"
         else:
             frame = self.pick([
                 "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW",
+                "RANGE BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW",
                 f"ROWS BETWEEN {self.rng.randrange(1, 5)} PRECEDING "
                 f"AND CURRENT ROW"])
             over = f"({part}ORDER BY {prefix}{uniq} {frame})"
@@ -373,7 +433,8 @@ class Gen:
             projs.append(f"{self.int_expr(ic, 1)} AS c{i}" if not sc or
                          self.rng.random() < 0.5
                          else f"{self.str_expr(sc, 0)} AS c{i}")
-        op = self.pick(["UNION ALL", "UNION", "INTERSECT", "EXCEPT"])
+        op = self.pick(["UNION ALL", "UNION", "INTERSECT", "EXCEPT",
+                        "INTERSECT ALL", "EXCEPT ALL"])
         p = ", ".join(projs)
         return (f"SELECT {p} FROM {t} WHERE {self.predicate(scope, 1)} "
                 f"{op} SELECT {p} FROM {t} WHERE {self.predicate(scope, 1)}")
