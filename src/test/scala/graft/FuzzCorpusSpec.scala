@@ -1,24 +1,31 @@
 package graft
 
 import java.nio.charset.StandardCharsets
-import java.nio.file.{Files, Paths}
+import java.nio.file.{Files, Path, Paths}
 import java.security.MessageDigest
 
 import scala.jdk.CollectionConverters._
 
-/** Replays the committed differential-fuzz corpus through the engine and
-  * pins each query's (row count, canonical result hash).
+/** Replays every committed differential-fuzz corpus through the engine
+  * and pins each query's (row count, canonical result hash).
   *
-  * The corpus is generated seed-pinned by tools/fuzz.py (the Spark-era
+  * Corpora are generated seed-pinned by tools/fuzz.py (the Spark-era
   * analogue of the reference's random query generator,
   * tests/comparison/discrepancy_searcher.py + query_generator.py, which
   * cross-checked random SELECTs against Postgres) and every query was
   * hash-verified against DuckDB with the driver-calibrated comparator at
-  * generation time. This spec makes that agreement durable OFFLINE: any
-  * engine change that alters any of the 1000 results fails here without
-  * needing DuckDB in the loop. Re-establish the cross-engine agreement
-  * (and regenerate the pins) with:
-  *   python3 tools/fuzz.py --seed 42 --n 1000   # must exit 0
+  * generation time: seed 42 is the v1 grammar (joins x aggs x windows x
+  * set-ops x subqueries), seed 43 the v2 grammar (ROLLUP/CUBE/GROUPING
+  * SETS, agg FILTER, CTE pipelines, scalar subqueries in projections,
+  * NTILE/FIRST_VALUE/LAST_VALUE, INTERSECT/EXCEPT ALL, EXTRACT). Each
+  * corpus JSONL is self-contained — replay never re-runs the generator,
+  * so grammar growth cannot drift an already-committed corpus.
+  *
+  * This spec makes the DuckDB agreement durable OFFLINE: any engine
+  * change that alters any pinned result fails here by corpus+name
+  * without needing DuckDB in the loop. Re-establish cross-engine
+  * agreement (and regenerate pins) with:
+  *   python3 tools/fuzz.py --seed NN --n 1000   # must exit 0
   *   GRAFT_REGEN_FUZZ=1 sbt "testOnly graft.FuzzCorpusSpec"
   *
   * The hash is engine-side only (column-name-sorted, row-sorted, cell
@@ -27,14 +34,21 @@ import scala.jdk.CollectionConverters._
   */
 class FuzzCorpusSpec extends SparkSpec {
 
-  private val corpusPath = Paths.get("src/test/resources/fuzz/corpus_seed42.jsonl")
-  private val goldenPath = Paths.get("src/test/resources/golden/fuzz_seed42.golden")
+  private val fuzzDir = Paths.get("src/test/resources/fuzz")
+  private val goldenDir = Paths.get("src/test/resources/golden")
   private val regen = sys.env.contains("GRAFT_REGEN_FUZZ")
   private val sfDir = "/root/testdata/sf0.001"
 
-  private def corpus: Seq[(String, String)] = {
+  private def corpora: Seq[(String, Path)] =
+    Files.list(fuzzDir).iterator().asScala
+      .filter(_.getFileName.toString.matches("corpus_seed\\d+\\.jsonl"))
+      .map(p => (p.getFileName.toString
+        .stripPrefix("corpus_").stripSuffix(".jsonl"), p))
+      .toSeq.sortBy(_._1)
+
+  private def loadCorpus(p: Path): Seq[(String, String)] = {
     import spark.implicits._
-    spark.read.json(corpusPath.toString)
+    spark.read.json(p.toString)
       .select("name", "sql").as[(String, String)].collect().toSeq.sortBy(_._1)
   }
 
@@ -51,14 +65,14 @@ class FuzzCorpusSpec extends SparkSpec {
           case f: Float => if (f.isNaN) "NaN" else f.toString
           case other => other.toString
         }
-      }.mkString("")
+      }.mkString("")
     }.sorted
     val md = MessageDigest.getInstance("SHA-256")
     rows.foreach { r => md.update(r.getBytes(StandardCharsets.UTF_8)); md.update('\n'.toByte) }
     (rows.length.toLong, md.digest().map("%02x".format(_)).mkString)
   }
 
-  private lazy val actual: Map[String, (Long, String)] = {
+  private def run(corpus: Seq[(String, String)]): Map[String, (Long, String)] = {
     // registerAll, not ensureViews: the shared test session may have had a
     // fixture view overwritten by another suite without the memo knowing.
     Tables.registerAll(spark, sfDir)
@@ -67,10 +81,9 @@ class FuzzCorpusSpec extends SparkSpec {
     }.toMap
   }
 
-  private def loadGolden(): Map[String, (Long, String)] = {
-    assert(Files.exists(goldenPath),
-      s"$goldenPath missing — regenerate with GRAFT_REGEN_FUZZ=1")
-    Files.readAllLines(goldenPath, StandardCharsets.UTF_8).asScala
+  private def loadGolden(p: Path): Map[String, (Long, String)] = {
+    assert(Files.exists(p), s"$p missing — regenerate with GRAFT_REGEN_FUZZ=1")
+    Files.readAllLines(p, StandardCharsets.UTF_8).asScala
       .map(_.trim).filter(l => l.nonEmpty && !l.startsWith("#"))
       .map { l =>
         val Array(name, n, h) = l.split("\t", 3)
@@ -78,31 +91,37 @@ class FuzzCorpusSpec extends SparkSpec {
       }.toMap
   }
 
-  if (regen) {
-    test("regenerate fuzz corpus goldens") {
-      val header = Seq(
-        "# Engine result pins for the seed-42 differential-fuzz corpus at sf0.001.",
-        "# Columns: name<TAB>rowcount<TAB>sha256. Regenerate ONLY after",
-        "# `python3 tools/fuzz.py --seed 42 --n 1000` exits 0 (DuckDB agreement):",
-        "#   GRAFT_REGEN_FUZZ=1 sbt 'testOnly graft.FuzzCorpusSpec'")
-      val lines = actual.toSeq.sortBy(_._1)
-        .map { case (n, (c, h)) => s"$n\t$c\t$h" }
-      Files.createDirectories(goldenPath.getParent)
-      Files.write(goldenPath, (header ++ lines).asJava, StandardCharsets.UTF_8)
-      info(s"wrote ${lines.size} pins to $goldenPath")
-    }
-  } else {
-    test("fuzz corpus replays with pinned results") {
-      val golden = loadGolden()
-      assert(golden.size === corpus.size,
-        s"corpus/golden drift: ${corpus.size} queries vs ${golden.size} pins")
-      val bad = actual.collect {
-        case (name, got) if golden.get(name).exists(_ != got) =>
-          s"$name: got rows=${got._1} hash=${got._2.take(12)}.. " +
-            s"expected rows=${golden(name)._1} hash=${golden(name)._2.take(12)}.."
+  corpora.foreach { case (tag, corpusPath) =>
+    val goldenPath = goldenDir.resolve(s"fuzz_$tag.golden")
+    val seed = tag.stripPrefix("seed")
+    if (regen) {
+      test(s"regenerate fuzz corpus goldens [$tag]") {
+        val header = Seq(
+          s"# Engine result pins for the $tag differential-fuzz corpus at sf0.001.",
+          "# Columns: name<TAB>rowcount<TAB>sha256. Regenerate ONLY after",
+          s"# `python3 tools/fuzz.py --seed $seed --n 1000` exits 0 (DuckDB agreement):",
+          "#   GRAFT_REGEN_FUZZ=1 sbt 'testOnly graft.FuzzCorpusSpec'")
+        val lines = run(loadCorpus(corpusPath)).toSeq.sortBy(_._1)
+          .map { case (n, (c, h)) => s"$n\t$c\t$h" }
+        Files.createDirectories(goldenPath.getParent)
+        Files.write(goldenPath, (header ++ lines).asJava, StandardCharsets.UTF_8)
+        info(s"wrote ${lines.size} pins to $goldenPath")
       }
-      assert(bad.isEmpty,
-        s"${bad.size} corpus queries drifted:\n  " + bad.take(10).mkString("\n  "))
+    } else {
+      test(s"fuzz corpus replays with pinned results [$tag]") {
+        val corpus = loadCorpus(corpusPath)
+        val golden = loadGolden(goldenPath)
+        assert(golden.size === corpus.size,
+          s"corpus/golden drift: ${corpus.size} queries vs ${golden.size} pins")
+        val actual = run(corpus)
+        val bad = actual.collect {
+          case (name, got) if golden.get(name).exists(_ != got) =>
+            s"$name: got rows=${got._1} hash=${got._2.take(12)}.. " +
+              s"expected rows=${golden(name)._1} hash=${golden(name)._2.take(12)}.."
+        }
+        assert(bad.isEmpty,
+          s"${bad.size} corpus queries drifted:\n  " + bad.take(10).mkString("\n  "))
+      }
     }
   }
 }

@@ -471,13 +471,49 @@ class Gen:
         return (f"SELECT {projs} FROM {outer} WHERE {sub} "
                 f"AND {self.predicate(oscope, 1)}")
 
+    def q_cte(self):
+        """CTE pipeline: aggregate once under a name, then re-filter /
+        re-aggregate / self-union the named result. Exercises WITH-clause
+        reuse (one definition consumed 1-2 times) on top of the same
+        dialect envelope: every numeric that leaves the CTE is already
+        BIGINT, so downstream arithmetic stays integer-exact."""
+        frm, scope = self.from_clause(self.rng.randrange(0, 3))
+        ic, sc = self.int_cols(scope), self.str_cols(scope)
+        if sc and self.rng.random() < 0.6:
+            key = self.str_expr(sc, 0)
+        else:
+            t, c = self.pick(ic)
+            key = (f"({t}.{c} % {self.rng.randrange(2, 20)})"
+                   if self.rng.random() < 0.5 else f"{t}.{c}")
+        cte = (f"WITH agg AS (SELECT {key} AS k, "
+               f"CAST(SUM({self.int_expr(ic, 1)}) AS BIGINT) AS s, "
+               f"COUNT(*) AS n FROM {frm} "
+               f"WHERE {self.predicate(scope, 1)} GROUP BY {key})")
+        r = self.rng.random()
+        if r < 0.4:
+            # re-aggregate the aggregate (two-level rollup pipeline)
+            return (f"{cte} SELECT COUNT(*) AS c0, "
+                    f"CAST(SUM(s) AS BIGINT) AS c1, MIN(n) AS c2 "
+                    f"FROM agg WHERE n > {self.rng.randrange(0, 3)}")
+        if r < 0.7:
+            # re-filter the named result on a computed column
+            return (f"{cte} SELECT k AS c0, s AS c1, n AS c2 FROM agg "
+                    f"WHERE s > {self.rng.randrange(0, 5000)} "
+                    f"OR n <= {self.rng.randrange(1, 4)}")
+        # consume the CTE twice: disjoint-ish filters re-unioned
+        return (f"{cte} SELECT k AS c0, s AS c1 FROM agg "
+                f"WHERE n > {self.rng.randrange(1, 4)} "
+                f"UNION ALL SELECT k, s FROM agg "
+                f"WHERE s <= {self.rng.randrange(0, 100)}")
+
     def query(self):
         r = self.rng.random()
-        if r < 0.22: return self.q_select()
-        if r < 0.50: return self.q_agg()
-        if r < 0.65: return self.q_window()
-        if r < 0.80: return self.q_setop()
-        return self.q_subquery()
+        if r < 0.20: return self.q_select()
+        if r < 0.45: return self.q_agg()
+        if r < 0.60: return self.q_window()
+        if r < 0.74: return self.q_setop()
+        if r < 0.88: return self.q_subquery()
+        return self.q_cte()
 
 
 def gen_corpus(seed, n, sf_dir):
