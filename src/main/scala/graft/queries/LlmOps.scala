@@ -899,14 +899,17 @@ object LlmOps {
     GROUP BY 1 ORDER BY split"""
 
   /** Transitive dup clusters: connected components over the n-gram
-    * jaccard pair list (min-label propagation; chains A~B~C collapse to
-    * one cluster, unlike the one-hop minhashClusters view). The oracle
+    * jaccard near-dup graph (min-label propagation; chains A~B~C collapse
+    * to one cluster, unlike the one-hop minhashClusters view). The oracle
     * computes the same closure with a recursive CTE — reachability then
     * MIN over reached ids. */
   def qDedupComponents(spark: SparkSession, dir: String): DataFrame = {
     val docs = Tables.load(spark, dir, "documents").filter(col("doc_id") % 10 === 0)
-    val pairs = Dedup.ngramJaccardPairsIndexed(docs, "text", "doc_id", n = 3, threshold = 0.5)
-    Dedup.connectedComponents(docs.select(col("doc_id")), pairs)
+    // the star-edge form: identical labels to components over the
+    // expanded ngramJaccardPairsIndexed list, but the edge set is
+    // |rep pairs| + |docs| instead of quadratic in dup-group size —
+    // the r9 sf3 soak caught the expanded form at alpha~2.5
+    Dedup.ngramJaccardComponents(docs, "text", "doc_id", n = 3, threshold = 0.5)
       .orderBy(col("doc_id"))
   }
 

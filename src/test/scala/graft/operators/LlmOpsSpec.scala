@@ -259,6 +259,32 @@ class LlmOpsSpec extends SparkSpec {
     assert(longLabels.forall(_ == 1L))
   }
 
+  test("star-edge ngram components equal components over the expanded pair list") {
+    import spark.implicits._
+    // dup-heavy corpus: three texts with duplicate groups of size 4/3/1,
+    // where texts A and B are near-dups (cross-group chain) and C is
+    // unrelated — exercises intra-group, cross-group and singleton paths
+    val a = "the quick brown fox jumps over the lazy dog near the river today"
+    val b = "the quick brown fox jumps over the lazy dog near the river tonight"
+    val c = "completely different content about database engines and planners"
+    val heavy = Seq(
+      (10L, a), (11L, a), (17L, a), (23L, a),
+      (12L, b), (19L, b), (31L, b),
+      (14L, c)).toDF("doc_id", "text")
+    def labelsOf(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => r.getLong(0) -> (r.getLong(1), r.getBoolean(2))).toMap
+    val viaPairs = labelsOf(Dedup.connectedComponents(
+      heavy.select(col("doc_id")),
+      Dedup.ngramJaccardPairsIndexed(heavy, "text", "doc_id", n = 3, threshold = 0.5)))
+    val viaStar = labelsOf(
+      Dedup.ngramJaccardComponents(heavy, "text", "doc_id", n = 3, threshold = 0.5))
+    assert(viaStar === viaPairs)
+    // and the labels are the transitive closure: every a/b doc joins the
+    // min-id cluster 10 through the a~b near-dup edge; c is a singleton
+    assert(viaStar(31L) === (10L, true))
+    assert(viaStar(14L) === (14L, false))
+  }
+
   test("chunking covers every token, respects overlap, and handles short docs") {
     import spark.implicits._
     val doc = (1L, (1 to 10).map(i => s"t$i").mkString(" "))
