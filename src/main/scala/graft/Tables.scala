@@ -22,6 +22,35 @@ object Tables {
     if (name == "events") normalizeEvents(df) else df
   }
 
+  /** Source-parallelism floor for heavy per-row stages. A parquet file is
+    * splittable only at row-group boundaries, so a single-row-group file
+    * yields ONE input split no matter what maxPartitionBytes says — and
+    * every operator fused into the scan stage (regex stats, shingling,
+    * per-shingle hashing, partial aggregates) then runs on one core while
+    * the rest of the cluster idles. When the planned scan has fewer than
+    * half the cluster's cores in splits, insert one round-robin exchange
+    * so downstream per-row work distributes; the shuffled bytes are the
+    * (small, that's why it mattered) source itself. At production scale —
+    * many files / many row groups, splits >= cores — this is a no-op and
+    * the plan is unchanged.
+    *
+    * Call it AFTER slicing/selecting (pushdown happens at the scan,
+    * below the exchange) and only ahead of compute-heavy projections:
+    * a plain aggregate over a small scan doesn't need the shuffle.
+    *
+    * Size-gated: below ~4 MB (Spark's own openCostInBytes scale) the
+    * exchange cannot pay for itself — especially under the LSH kernels'
+    * recompute-over-cache design, where the source subtree (and thus the
+    * exchange) re-executes several times per query — so tiny relations
+    * pass through untouched. */
+  def parallelized(df: DataFrame): DataFrame = {
+    val cores = df.sparkSession.sparkContext.defaultParallelism
+    val bytes = df.queryExecution.optimizedPlan.stats.sizeInBytes
+    if (bytes >= 4L * 1024 * 1024 && df.rdd.getNumPartitions * 2 < cores)
+      df.repartition(cores)
+    else df
+  }
+
   /** events.ts is parquet TIMESTAMP(NANOS), surfaced as epoch-nano Long
     * (spark.sql.legacy.parquet.nanosAsLong) — convert to a proper
     * microsecond timestamp column, preserving the original name.

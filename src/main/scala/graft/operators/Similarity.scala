@@ -221,16 +221,104 @@ object Similarity {
   }
 
   /** Embedding-cosine near-duplicate pairs via LSH buckets (id_a < id_b,
-    * cosine above threshold). Candidate generation is the bucket equi-join. */
+    * cosine above threshold). Candidate generation is the bucket
+    * equi-join — the 100 TB path; [[cosineNearDupPairsExact]] is the
+    * all-pairs verification kernel for bounded slices.
+    *
+    * Scale shape (mirrors the minhash kernel stage for stage):
+    *  1. mean-centered buckets ([[lshBucket]] doc: uncentered sign-LSH
+    *     collapses to two buckets on shared-mean embeddings);
+    *  2. hot-bucket cap: home buckets above `maxBucket` vectors are
+    *     knocked out by a broadcast anti join (the same bounded-work /
+    *     recall trade as minhash `maxBucket` and ngram `maxPosting`);
+    *  3. symmetric multi-probe: each vector PROBES its own bucket plus
+    *     every hamming-1 flip while the home index keeps one bucket per
+    *     vector — a pair is a candidate when its home buckets differ in
+    *     at most one plane sign, the pair analogue of [[lshTopK]]'s
+    *     query-side probing (recall < 1 by construction, documented);
+    *  4. slim (id_a, id_b) candidates dedup BEFORE vectors re-join for
+    *     the exact cosine verify — wide embedding arrays never ride the
+    *     candidate dedup shuffle.
+    *
+    * Regime caveat (same as [[lshTopK]]): on a corpus whose variance is
+    * dominated by one cluster direction, every centered hyperplane cuts
+    * along that direction and the buckets collapse to two complementary
+    * halves — measured on the synthetic corpus, where the cap then
+    * knocks out half the population. Use [[ivfNearDupPairs]]
+    * (data-adaptive centroids) in that regime. */
   def cosineNearDupPairs(
       vecs: DataFrame, idCol: String, vecCol: String,
-      threshold: Double, planes: Int = 6, dims: Int = 64): DataFrame = {
-    val t = vecs.select(col(idCol).as("id"), col(vecCol).as("v"),
-      lshBucket(col(vecCol), planes, dims).as("bucket"))
-    val a = t.select(col("bucket"), col("id").as("id_a"), col("v").as("va"))
-    val b = t.select(col("bucket"), col("id").as("id_b"), col("v").as("vb"))
-    a.join(b, Seq("bucket"))
+      threshold: Double, planes: Int = 6, dims: Int = 64,
+      multiProbe: Boolean = true, maxBucket: Int = 1000): DataFrame = {
+    val base = vecs.select(col(idCol).as("id"), col(vecCol).as("v"))
+    val thrs = planeThresholds(dimMeans(base, "v"), planes, dims, table = 0)
+    val home = base.select(col("id"),
+      lshBucket(col("v"), planes, dims, 0, thrs).as("bucket"))
+    val oversized = home.groupBy(col("bucket")).agg(count(lit(1)).as("bn"))
+      .filter(col("bn") > maxBucket).select(col("bucket"))
+    val capped = home.join(broadcast(oversized), Seq("bucket"), "left_anti")
+    val probeSide =
+      if (!multiProbe) capped
+      else capped.select(col("id"), explode(array(
+        (col("bucket") +: (0 until planes).map(p =>
+          col("bucket").bitwiseXOR(lit(1L << p)))): _*)).as("bucket"))
+    val pairs = probeSide.select(col("bucket"), col("id").as("id_a"))
+      .join(capped.select(col("bucket"), col("id").as("id_b")), Seq("bucket"))
       .filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"))
+      .distinct()
+    pairs
+      .join(base.select(col("id").as("id_a"), col("v").as("va")), Seq("id_a"))
+      .join(base.select(col("id").as("id_b"), col("v").as("vb")), Seq("id_b"))
+      .withColumn("cos_sim", cosine(col("va"), col("vb")))
+      .filter(col("cos_sim") >= threshold)
+      .select(col("id_a"), col("id_b"), col("cos_sim"))
+  }
+
+  /** Embedding near-dup pairs via IVF buckets: k-means centroids
+    * (deterministic — seeded, trained on the same hash-ordered bounded
+    * sample as [[ivfTopK]]), every vector assigned to its nearest
+    * centroid, candidates from the bucket equi-join, exact cosine verify.
+    *
+    * This is the near-dup kernel of choice when the corpus' variance is
+    * dominated by cluster structure: sign-LSH hyperplanes all cut along
+    * the dominant direction and collapse to two complementary buckets
+    * (measured on the synthetic corpus — [[lshTopK]] doc), while
+    * data-adaptive centroids put each tight family in one bucket.
+    * [[cosineNearDupPairs]] remains the oblivious-hash alternative for
+    * corpora without that structure.
+    *
+    * Scale shape: centroid fit is bounded (100k-sample cap), assignment
+    * is one broadcast-centroid pass, buckets above `maxBucket` are
+    * knocked out by a broadcast anti join (bounded work per bucket), and
+    * slim (id_a, id_b) candidates dedup before vectors re-join for the
+    * verify. Size `nCentroids` ~ corpus/targetBucket at scale. Recall < 1
+    * only for families straddling a centroid boundary (near-identical
+    * members almost always share their nearest centroid). */
+  def ivfNearDupPairs(
+      vecs: DataFrame, idCol: String, vecCol: String,
+      threshold: Double, nCentroids: Int = 16, maxBucket: Int = 1000): DataFrame = {
+    import org.apache.spark.ml.clustering.KMeans
+    import org.apache.spark.ml.functions.array_to_vector
+    val base = vecs.select(col(idCol).as("id"), col(vecCol).as("v"))
+    val feat = base.withColumn("features", array_to_vector(col("v").cast("array<double>")))
+    val train = feat.orderBy(xxhash64(col("id")).asc, col("id").asc)
+      .limit(100000).persist()
+    val model = new KMeans().setK(nCentroids).setSeed(42L).setMaxIter(10).fit(train)
+    train.unpersist(blocking = false)
+    val assigned = model.transform(feat)
+      .select(col("id"), col("prediction").as("bucket"))
+    val oversized = assigned.groupBy(col("bucket")).agg(count(lit(1)).as("bn"))
+      .filter(col("bn") > maxBucket).select(col("bucket"))
+    val capped = assigned.join(broadcast(oversized), Seq("bucket"), "left_anti")
+    val pairs = capped.select(col("bucket"), col("id").as("id_a"))
+      .join(capped.select(col("bucket"), col("id").as("id_b")), Seq("bucket"))
+      .filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"))
+      .distinct()
+    pairs
+      .join(base.select(col("id").as("id_a"), col("v").as("va")), Seq("id_a"))
+      .join(base.select(col("id").as("id_b"), col("v").as("vb")), Seq("id_b"))
       .withColumn("cos_sim", cosine(col("va"), col("vb")))
       .filter(col("cos_sim") >= threshold)
       .select(col("id_a"), col("id_b"), col("cos_sim"))

@@ -14,7 +14,7 @@ object LlmOps {
 
   /** Exact dedup fingerprint table (DuckDB-mirrorable: md5 both sides). */
   def qDedupExact(spark: SparkSession, dir: String): DataFrame = {
-    val docs = Tables.load(spark, dir, "documents")
+    val docs = Tables.parallelized(Tables.load(spark, dir, "documents"))
     Dedup.exactGroups(docs, "text", "doc_id")
       .orderBy(col("fp"))
   }
@@ -32,7 +32,7 @@ object LlmOps {
     * rows-only. The xxhash64 production family (slimmer shuffles, same
     * algorithm) stays covered by LlmOpsSpec. Always |docs| rows. */
   def qDedupMinhash(spark: SparkSession, dir: String): DataFrame = {
-    val docs = Tables.load(spark, dir, "documents")
+    val docs = Tables.parallelized(Tables.load(spark, dir, "documents"))
     Dedup.minhashClustersPortable(docs, "text", "doc_id").orderBy(col("doc_id"))
   }
 
@@ -41,7 +41,14 @@ object LlmOps {
     * WITH, no final SELECT), ending at `rep(doc_id, rep_id)`. Shared by
     * [[qDedupMinhashSql]], [[qSplitLeakageSafeSql]] and the e2e pipeline
     * oracle so the hash family (16 hashes, 4 bands of 4 rows, jaccard >=
-    * 0.6, bucket cap 1000) cannot drift between entries. */
+    * 0.6, bucket cap 1000) cannot drift between entries.
+    *
+    * Mirrors the engine's collapse-first form
+    * (`Dedup.clustersCollapsedByText`): identical case-folded texts
+    * collapse to a group representative before shingling/banding — the
+    * bucket cap counts DISTINCT texts — and members inherit their group
+    * rep's one-hop label, so engine and oracle agree even in the capped
+    * regime on duplicate-heavy corpora. */
   private def minhashClusterCtes(src: String, textExpr: String): String = {
     // 4 seeded outer md5s over the per-shingle digest, each sliced into
     // four 8-hex permutation values — mirrors minhashPairsPortable's
@@ -53,9 +60,14 @@ object LlmOps {
       val cols = (4 * b until 4 * b + 4).map(r => s"mh$r").mkString(" || '|' || ")
       s"md5('$b' || '|' || $cols)"
     }.mkString(",\n               ")
-    s"""t AS (
-      SELECT doc_id, string_split_regex(lower(trim($textExpr)), '\\s+') AS toks
+    s"""keyed AS (
+      SELECT doc_id, $textExpr AS txt, md5(lower(trim($textExpr))) AS tkey
       FROM $src),
+    grp AS (
+      SELECT tkey, MIN(doc_id) AS grp_rep FROM keyed GROUP BY tkey),
+    t AS (
+      SELECT k.doc_id, string_split_regex(lower(trim(k.txt)), '\\s+') AS toks
+      FROM keyed k JOIN grp g USING (tkey) WHERE k.doc_id = g.grp_rep),
     p AS (
       SELECT doc_id, toks,
              unnest(generate_series(0, greatest(len(toks) - 3, 0))) AS pos
@@ -87,8 +99,14 @@ object LlmOps {
       JOIN sets sb ON sb.doc_id = cand.id_b
       WHERE CAST(len(list_intersect(sa.s, sb.s)) AS DOUBLE) /
             len(list_distinct(list_concat(sa.s, sb.s))) >= 0.6),
+    nbr AS (
+      SELECT id_b AS grp_rep, MIN(id_a) AS nbr FROM ver GROUP BY id_b),
     rep AS (
-      SELECT id_b AS doc_id, MIN(id_a) AS rep_id FROM ver GROUP BY id_b)"""
+      SELECT k.doc_id, COALESCE(n.nbr, g.grp_rep) AS rep_id
+      FROM keyed k
+      JOIN grp g USING (tkey)
+      LEFT JOIN nbr n ON n.grp_rep = g.grp_rep
+      WHERE COALESCE(n.nbr, g.grp_rep) <> k.doc_id)"""
   }
 
   /** DuckDB mirror of [[qDedupMinhash]] — generated with the same loops as
@@ -108,7 +126,7 @@ object LlmOps {
     * at scale the pair source is LSH candidates, not all-pairs). Integer
     * set sizes divide exactly in IEEE doubles → bit-matches DuckDB. */
   def qDedupNgram(spark: SparkSession, dir: String): DataFrame = {
-    val docs = Tables.load(spark, dir, "documents")
+    val docs = Tables.parallelized(Tables.load(spark, dir, "documents"))
     // the inverted-index form: identical output to the all-pairs kernel
     // (LlmOpsSpec proves it), but a codegen'd shuffle-by-gram join
     // instead of per-pair array intersections
@@ -134,19 +152,26 @@ object LlmOps {
     ORDER BY id_a, id_b"""
 
   /** Embedding-cosine near-dup pairs: exact all-pairs cosine over a
-    * modulo-sampled vector slice (same sequential-fold kernel the
-    * hash-matched q_sim_search proves bit-equal to DuckDB). The LSH-
-    * bucketed production path is exercised in LlmOpsSpec. */
+    * BOUNDED vector slice (same sequential-fold kernel the hash-matched
+    * q_sim_search proves bit-equal to DuckDB). The slice is bounded
+    * absolutely (`vec_id < 20000`, i.e. the sf1 population) because the
+    * all-pairs kernel's contract is "caller bounds the slice" — the r9
+    * sf3 soak caught the unbounded form at alpha 2.0 (the slice itself
+    * grew with SF, and at a 0.25 threshold even the OUTPUT is quadratic:
+    * 2.7% of all pairs pass). The unbounded scale path is
+    * [[qDedupCosineLsh]]. */
   def qDedupCosine(spark: SparkSession, dir: String): DataFrame = {
     val emb = Tables.load(spark, dir, "embeddings")
     Similarity.cosineNearDupPairsExact(
-        emb.filter(col("vec_id") % 10 === 0), "vec_id", "embedding",
-        threshold = 0.25)
+        Tables.parallelized(
+          emb.filter(col("vec_id") % 10 === 0 && col("vec_id") < 20000)),
+        "vec_id", "embedding", threshold = 0.25)
       .orderBy(col("id_a"), col("id_b"))
   }
 
   val qDedupCosineSql: String = """
-    WITH e AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id % 10 = 0),
+    WITH e AS (SELECT vec_id, embedding FROM embeddings
+               WHERE vec_id % 10 = 0 AND vec_id < 20000),
     pairs AS (
       SELECT a.vec_id AS id_a, b.vec_id AS id_b,
              list_sum(list_transform(list_zip(a.embedding, b.embedding),
@@ -158,10 +183,73 @@ object LlmOps {
     FROM pairs WHERE cos_sim >= 0.25
     ORDER BY id_a, id_b"""
 
+  /** The scale path for embedding near-dup: IVF-bucketed candidates
+    * (deterministic k-means centroids, hot-bucket cap) verified by exact
+    * cosine — data-adaptive buckets because sign-LSH collapses to two
+    * complementary buckets on this corpus (measured: the centered
+    * 6-plane home index has exactly 2 distinct values at sf1, and the
+    * hot-bucket cap then knocks out half the population; see
+    * Similarity.cosineNearDupPairs regime caveat). Gated-exact entry
+    * shape (the
+    * [[annGatedExact]] pattern), aggregated to ONE row because the corpus
+    * plants near-dup families only at sf1+ (max pairwise cosine at the
+    * driver scales is 0.43): `n_neardup_pairs` (exact count at cos 0.9)
+    * and `max_sim` are DuckDB-re-derived at every scale, and `recall_ok`
+    * asserts the IVF path found at least 90% of the exact near-dup pairs
+    * — vacuously true when none exist, measured 1.0 at sf1/sf3 — so a
+    * bucketing/centering/probe regression turns the driver gate red.
+    * Both sides run on the same bounded slice, so the flag compares like
+    * with like at every SF and the entry's cost is constant beyond sf1 —
+    * the operator's unbounded behavior is governed by its maxBucket cap,
+    * spec-tested.
+    * Threshold 0.9 is the dedup regime (the corpus plants near-identical
+    * families); at 0.25 no sub-quadratic candidate generator exists —
+    * sign-LSH can't prune pairs barely above orthogonal, which is why
+    * [[qDedupCosine]]'s all-pairs kernel owns that regime under an
+    * explicit slice bound. */
+  def qDedupCosineIvf(spark: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.load(spark, dir, "embeddings")
+    val bounded = Tables.parallelized(
+      emb.filter(col("vec_id") % 10 === 0 && col("vec_id") < 20000))
+    // ALL pair sims once (threshold -1): n_neardup and max_sim both read
+    // it, and the near-dup subset feeds the recall join
+    val sims = Similarity.cosineNearDupPairsExact(
+      bounded, "vec_id", "embedding", threshold = -1.0)
+    val exact09 = sims.filter(col("cos_sim") >= 0.9)
+    val ann = Similarity.ivfNearDupPairs(
+      bounded, "vec_id", "embedding", threshold = 0.9)
+    val hitAgg = exact09
+      .join(ann.select(col("id_a"), col("id_b"), lit(1).as("hit")),
+        Seq("id_a", "id_b"), "left_outer")
+      .agg(count(lit(1)).as("n_neardup_pairs"),
+        coalesce(sum(col("hit")), lit(0L)).as("n_hit"))
+    hitAgg.crossJoin(sims.agg(max(col("cos_sim")).as("max_sim")))
+      .select(
+        col("n_neardup_pairs"),
+        col("max_sim"),
+        (col("n_neardup_pairs") === 0 ||
+          col("n_hit").cast("double") >=
+            col("n_neardup_pairs") * lit(0.9)).as("recall_ok"))
+  }
+
+  val qDedupCosineIvfSql: String = """
+    WITH e AS (SELECT vec_id, embedding FROM embeddings
+               WHERE vec_id % 10 = 0 AND vec_id < 20000),
+    pairs AS (
+      SELECT list_sum(list_transform(list_zip(a.embedding, b.embedding),
+               x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE))) /
+             (sqrt(list_sum(list_transform(a.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) *
+              sqrt(list_sum(list_transform(b.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))) AS cos_sim
+      FROM e a JOIN e b ON a.vec_id < b.vec_id)
+    SELECT CAST(SUM(CASE WHEN cos_sim >= 0.9 THEN 1 ELSE 0 END) AS BIGINT) AS n_neardup_pairs,
+           MAX(cos_sim) AS max_sim,
+           TRUE AS recall_ok
+    FROM pairs"""
+
   /** Text analysis: token counts, ratios, quality, language-ID — mirrored
     * in DuckDB with equivalent regex/list SQL. */
   def qTextStats(spark: SparkSession, dir: String): DataFrame = {
-    val docs = Tables.load(spark, dir, "documents")
+    val docs = Tables.parallelized(Tables.load(spark, dir, "documents"))
     val t = col("text")
     docs.select(
         col("doc_id"),
@@ -233,7 +321,7 @@ object LlmOps {
     val emb = Tables.load(spark, dir, "embeddings")
     Similarity.bruteForceTopK(
         emb.filter(col("vec_id") < 10),
-        emb.filter(col("vec_id") >= 10),
+        Tables.parallelized(emb.filter(col("vec_id") >= 10)),
         "vec_id", "embedding", k = 5)
       .orderBy(col("query_id"), col("rnk"))
   }
@@ -288,7 +376,10 @@ object LlmOps {
 
   private def annParts(spark: SparkSession, dir: String): (DataFrame, DataFrame) = {
     val emb = Tables.load(spark, dir, "embeddings")
-    (emb.filter(col("vec_id") < 10), emb.filter(col("vec_id") >= 10))
+    // the corpus side carries the per-vector work (cosine / bucket
+    // assignment fused above the scan) — floor its parallelism
+    (emb.filter(col("vec_id") < 10),
+      Tables.parallelized(emb.filter(col("vec_id") >= 10)))
   }
 
   private def annTopK(queries: DataFrame, corpus: DataFrame, which: String,
@@ -403,7 +494,7 @@ object LlmOps {
     * rows-only. Feature values are k/16 (exact at 4 decimal digits), so
     * the decimal-exact sum never rounds. */
   def qMultimodal(spark: SparkSession, dir: String): DataFrame = {
-    val docs = Tables.load(spark, dir, "documents")
+    val docs = Tables.parallelized(Tables.load(spark, dir, "documents"))
     val media = Multimodal.mediaFromDocuments(docs)
     val feats = Multimodal.extractFeatures(media)
     feats.toDF()
@@ -436,7 +527,7 @@ object LlmOps {
     * fnv/xxhash production forms (one codegen'd long per doc, no hex
     * strings) stay covered by FnvHashSpec + LlmOpsSpec. */
   def qTextFingerprints(spark: SparkSession, dir: String): DataFrame = {
-    val docs = Tables.load(spark, dir, "documents")
+    val docs = Tables.parallelized(Tables.load(spark, dir, "documents"))
     docs.select(
         col("doc_id"),
         TextAnalysis.fingerprintHex(col("text")).as("fp_hex"))
@@ -502,7 +593,7 @@ object LlmOps {
     * oracle scale): it verifies the engine's banding+cap candidate
     * generation against ground truth rather than mirroring it. */
   def qDedupSimhash(spark: SparkSession, dir: String): DataFrame = {
-    val docs = Tables.load(spark, dir, "documents")
+    val docs = Tables.parallelized(Tables.load(spark, dir, "documents"))
     val corpus = docs.select(col("doc_id"), col("text"))
       .unionByName(docs.filter(col("doc_id") % 11 === 0)
         .select((col("doc_id") + 1000000).as("doc_id"), col("text")))
@@ -549,7 +640,7 @@ object LlmOps {
     * by ~1/7 of docs (removed at threshold 30), and a doc-unique line
     * (kept). The oracle rebuilds the same corpus and pass in SQL. */
   def qDedupLines(spark: SparkSession, dir: String): DataFrame = {
-    val docs = Tables.load(spark, dir, "documents")
+    val docs = Tables.parallelized(Tables.load(spark, dir, "documents"))
     val dirty = concat(col("text"),
       lit("\nall rights reserved - corpus footer"),
       lit("\nsection header "), (col("doc_id") % 7).cast("string"),
@@ -590,7 +681,7 @@ object LlmOps {
     * duplicate-line metrics actually vary; 2-gram coverage runs over the
     * natural text. */
   def qRepFilters(spark: SparkSession, dir: String): DataFrame = {
-    val docs = Tables.load(spark, dir, "documents")
+    val docs = Tables.parallelized(Tables.load(spark, dir, "documents"))
     val dirty = concat(col("text"), lit("\nfiller line"),
       expr("repeat(concat(chr(10), 'filler line'), CAST(doc_id % 3 AS INT))"))
     TextAnalysis.repetitionMetrics(
@@ -633,7 +724,7 @@ object LlmOps {
     * real decontamination uses 13). Benchmark docs report full overlap
     * with themselves; genuine cross-doc phrase overlap also surfaces. */
   def qContamination(spark: SparkSession, dir: String): DataFrame = {
-    val docs = Tables.load(spark, dir, "documents")
+    val docs = Tables.parallelized(Tables.load(spark, dir, "documents"))
     val bench = docs.filter(substring(md5(col("text")), 1, 2) < "08")
     Dedup.ngramContamination(docs, bench, "text", "doc_id", n = 5)
       .orderBy(col("doc_id"))
@@ -674,7 +765,7 @@ object LlmOps {
     Map("en" -> 0.5, "de" -> 2.0, "fr" -> 1.25, "es" -> 1.0, "zh" -> 0.75)
 
   def qMixWeighted(spark: SparkSession, dir: String): DataFrame = {
-    val docs = Tables.load(spark, dir, "documents")
+    val docs = Tables.parallelized(Tables.load(spark, dir, "documents"))
     TextAnalysis.mixByWeight(docs, "text", "lang", mixWeights)
       .groupBy(col("lang"))
       .agg(count(lit(1)).as("n_rows"), sum(col("doc_id")).as("id_checksum"))
@@ -710,7 +801,7 @@ object LlmOps {
     * Spark's `percentile` matches percentile_cont's interpolation, so the
     * kept set — and therefore the aggregate — hash-matches. */
   def qQualityFilter(spark: SparkSession, dir: String): DataFrame = {
-    val docs = Tables.load(spark, dir, "documents")
+    val docs = Tables.parallelized(Tables.load(spark, dir, "documents"))
     val scored = docs.select(col("doc_id"), col("lang"),
       TextAnalysis.stopwordRatio(col("text")).as("stop_ratio"))
     TextAnalysis.keepAboveQuantile(scored, "stop_ratio", "lang", 0.5)
@@ -753,7 +844,7 @@ object LlmOps {
     // evicted on access so dead sessions don't pin persisted bookkeeping.
     clusterCache.filterInPlace((k, _) => !k._1.sparkContext.isStopped)
     val c = clusterCache.getOrElseUpdate((spark, dir), {
-      val docs = Tables.load(spark, dir, "documents")
+      val docs = Tables.parallelized(Tables.load(spark, dir, "documents"))
       Dedup.minhashClustersPortable(docs, "text", "doc_id")
     })
     // (Re)materialize when not resident: Bench's between-entry
@@ -823,7 +914,7 @@ object LlmOps {
     // to the caller.
     pipelineCache.filterInPlace((k, _) => !k._1.sparkContext.isStopped)
     val survivors = pipelineCache.getOrElseUpdate((spark, dir), {
-      val docs = Tables.load(spark, dir, "documents")
+      val docs = Tables.parallelized(Tables.load(spark, dir, "documents"))
       val dirty = concat(col("text"),
         lit(" contact admin@mail.example.com or see https://ex.example/home"))
       val cleaned = docs.select(col("doc_id"), col("lang"),
@@ -904,7 +995,8 @@ object LlmOps {
     * computes the same closure with a recursive CTE — reachability then
     * MIN over reached ids. */
   def qDedupComponents(spark: SparkSession, dir: String): DataFrame = {
-    val docs = Tables.load(spark, dir, "documents").filter(col("doc_id") % 10 === 0)
+    val docs = Tables.parallelized(
+      Tables.load(spark, dir, "documents").filter(col("doc_id") % 10 === 0))
     // the star-edge form: identical labels to components over the
     // expanded ngramJaccardPairsIndexed list, but the edge set is
     // |rep pairs| + |docs| instead of quadratic in dup-group size —
@@ -968,7 +1060,7 @@ object LlmOps {
     * md5-prefix compare is engine-neutral, so Spark and DuckDB select the
     * SAME documents — the property rand() sampling can't give. */
   def qSampleFingerprint(spark: SparkSession, dir: String): DataFrame = {
-    val docs = Tables.load(spark, dir, "documents")
+    val docs = Tables.parallelized(Tables.load(spark, dir, "documents"))
     docs.filter(TextAnalysis.sampleByFingerprint(col("text"), "14"))
       .select(col("doc_id"), substring(md5(col("text")), 1, 2).as("bucket"))
       .orderBy(col("doc_id"))
@@ -985,7 +1077,7 @@ object LlmOps {
     * per-stratum md5 thresholds — the pipeline's language-mix knob, still
     * a pure scan-level filter. */
   def qSampleStratified(spark: SparkSession, dir: String): DataFrame = {
-    val docs = Tables.load(spark, dir, "documents")
+    val docs = Tables.parallelized(Tables.load(spark, dir, "documents"))
     // en ~2x over-represented in the synthetic corpus: keep ~25% of en,
     // ~50% of the others (hex 40/256, 80/256)
     val rates = Map("en" -> "40", "de" -> "80", "fr" -> "80", "es" -> "80", "zh" -> "80")
@@ -1009,7 +1101,7 @@ object LlmOps {
     * frequency filters): explode → map-side-partial hash-agg →
     * TakeOrderedAndProject; tie-break on token keeps the cut exact. */
   def qVocabTopk(spark: SparkSession, dir: String): DataFrame = {
-    val docs = Tables.load(spark, dir, "documents")
+    val docs = Tables.parallelized(Tables.load(spark, dir, "documents"))
     TextAnalysis.vocabulary(docs, "text", 100)
   }
 
@@ -1026,7 +1118,7 @@ object LlmOps {
     * constructed deterministically from doc_id so the replacement paths
     * actually fire, then scrubbed with cross-engine-safe regexes. */
   def qTextScrub(spark: SparkSession, dir: String): DataFrame = {
-    val docs = Tables.load(spark, dir, "documents")
+    val docs = Tables.parallelized(Tables.load(spark, dir, "documents"))
     val dirty = concat(col("text"),
       lit(" contact user"), col("doc_id").cast("string"),
       lit("@mail.example.com or http://ex.example/p/"), col("doc_id").cast("string"))
@@ -1051,7 +1143,8 @@ object LlmOps {
     * full chunk→pack pipeline shape. Packing is one window prefix-sum
     * over (lang, doc order) — a single shuffle on the partition key. */
   def qPack(spark: SparkSession, dir: String): DataFrame = {
-    val docs = Tables.load(spark, dir, "documents").filter(col("doc_id") % 20 === 0)
+    val docs = Tables.parallelized(
+      Tables.load(spark, dir, "documents").filter(col("doc_id") % 20 === 0))
     val chunks = TextAnalysis.chunk(docs, "text", "doc_id", chunkSize = 64, overlap = 8)
       .withColumn("n_tokens", TextAnalysis.tokenCount(col("chunk")))
     val withLang = chunks.join(broadcast(docs.select(col("doc_id"), col("lang"))), Seq("doc_id"))
@@ -1092,7 +1185,7 @@ object LlmOps {
     * per-row sequence + explode, no shuffle; the oracle rebuilds the same
     * windows with generate_series + list slicing. */
   def qChunk(spark: SparkSession, dir: String): DataFrame = {
-    val docs = Tables.load(spark, dir, "documents")
+    val docs = Tables.parallelized(Tables.load(spark, dir, "documents"))
     TextAnalysis.chunk(docs.filter(col("doc_id") % 20 === 0), "text", "doc_id",
         chunkSize = 64, overlap = 8)
       .orderBy(col("doc_id"), col("chunk_id"))

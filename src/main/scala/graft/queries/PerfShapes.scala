@@ -106,7 +106,8 @@ object PerfShapes {
     * stresses a different scan path (dictionary equality, prefix
     * row-group pruning, full-text contains). */
   def qPerfStringGrep(spark: SparkSession, dir: String): DataFrame = {
-    val t = Tables.load(spark, dir, "documents").select(col("text"))
+    val t = Tables.parallelized(
+      Tables.load(spark, dir, "documents").select(col("text")))
     def cnt(c: org.apache.spark.sql.Column) = sum(when(c, 1L).otherwise(0L))
     t.agg(
       cnt(col("text") === "spark merge sort").as("n_eq"),

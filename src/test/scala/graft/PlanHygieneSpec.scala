@@ -20,7 +20,11 @@ class PlanHygieneSpec extends SparkSpec {
     *   (one pass, documented 100 TB shape — the ANN variants embed it as
     *   their oracle-checked exact side);
     * - q_dedup_cosine: the exact pair kernel, contract-bounded by the
-    *   caller (the production path is the LSH bucket equi-join);
+    *   caller (the production path is the bucket equi-join);
+    * - q_dedup_cosine_ivf: embeds the same contract-bounded exact kernel
+    *   as its oracle-checked side (vec_id < 20000, constant beyond sf1)
+    *   plus a 1-row × 1-row aggregate cross join for the summary row;
+    *   the IVF candidate path itself is a bucket equi-join;
     * - q_ds88_multicount: TPC-DS q88's documented shape — eight 1-row
     *   scalar-count blocks cross-joined, bounded by construction;
     * - q_ds61_promo_ratio: TPC-DS q61's documented shape — TWO 1-row
@@ -30,8 +34,8 @@ class PlanHygieneSpec extends SparkSpec {
     *   build side is the centroid count, never the corpus. */
   private val allowedNestedLoop = Set(
     "q_join_cross", "q_sim_search", "q_sim_search_lsh", "q_sim_search_ivf",
-    "q_dedup_cosine", "q_ds88_multicount", "q_ds61_promo_ratio",
-    "q_sim_search_ivf_raw")
+    "q_dedup_cosine", "q_dedup_cosine_ivf", "q_ds88_multicount",
+    "q_ds61_promo_ratio", "q_sim_search_ivf_raw")
 
   /** Entries whose GLOBAL (unpartitioned) window is the design:
     * q_sim_search_lsh / q_sim_search_ivf — annGatedExact's recall window

@@ -285,6 +285,33 @@ class LlmOpsSpec extends SparkSpec {
     assert(viaStar(14L) === (14L, false))
   }
 
+  test("collapse-first minhash/simhash cluster views equal the expanded-pair one-hop model") {
+    import spark.implicits._
+    // dup groups of size 4/3/1 with a cross-group near-dup link — the
+    // shape whose expanded pair list grows quadratically with group size
+    val a = "the quick brown fox jumps over the lazy dog near the wide river bank today ok"
+    val b = "the quick brown fox jumps over the lazy dog near the wide river bank tonight ok"
+    val c = "completely different content about database engines and query planners overall"
+    val heavy = Seq(
+      (10L, a), (11L, a), (17L, a), (23L, a),
+      (12L, b), (19L, b), (31L, b),
+      (14L, c)).toDF("doc_id", "text")
+    def labelsOf(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => r.getLong(0) -> (r.getLong(1), r.getBoolean(2))).toMap
+    val mhModel = labelsOf(Dedup.clustersFromPairs(heavy, "doc_id",
+      Dedup.minhashPairsPortable(heavy, "text", "doc_id")))
+    val mhFast = labelsOf(Dedup.minhashClustersPortable(heavy, "text", "doc_id"))
+    assert(mhFast === mhModel)
+    val shModel = labelsOf(Dedup.clustersFromPairs(heavy, "doc_id",
+      Dedup.simhashPairs(heavy, "text", "doc_id")))
+    val shFast = labelsOf(Dedup.simhashClusters(heavy, "text", "doc_id"))
+    assert(shFast === shModel)
+    // sanity on the expected structure: every a/b doc is one-hop labeled
+    // (a near-dups b, so all members point at 10 or the b-group min 12)
+    assert(mhFast(11L) === (10L, true))
+    assert(mhFast(14L) === (14L, false))
+  }
+
   test("chunking covers every token, respects overlap, and handles short docs") {
     import spark.implicits._
     val doc = (1L, (1 to 10).map(i => s"t$i").mkString(" "))

@@ -81,10 +81,21 @@ def main():
     entries = a.entries.split(",")
     os.makedirs(a.out, exist_ok=True)
 
+    # Bench writes the repo's bench_result.json (the driver artifact) —
+    # snapshot it and restore after the sweep so a soak never clobbers
+    # the committed driver numbers.
+    bench_path = f"{REPO}/bench_result.json"
+    saved = open(bench_path).read() if os.path.exists(bench_path) else None
+
     results = {}  # tag -> bench json
-    for d in sfs:
-        print(f"[soak] running {len(entries)} entries at {d} ...")
-        results[tag(d)] = run_sf(d, entries, a.out)
+    try:
+        for d in sfs:
+            print(f"[soak] running {len(entries)} entries at {d} ...")
+            results[tag(d)] = run_sf(d, entries, a.out)
+    finally:
+        if saved is not None:
+            with open(bench_path, "w") as f:
+                f.write(saved)
 
     tags = [tag(d) for d in sfs]
     sf_of = {t: float(results[t]["sf"]) for t in tags}
