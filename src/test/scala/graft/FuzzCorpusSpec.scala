@@ -37,7 +37,10 @@ class FuzzCorpusSpec extends SparkSpec {
   private val fuzzDir = Paths.get("src/test/resources/fuzz")
   private val goldenDir = Paths.get("src/test/resources/golden")
   private val regen = sys.env.contains("GRAFT_REGEN_FUZZ")
-  private val sfDir = "/root/testdata/sf0.001"
+  // Corpora generated before the sf field existed (seeds 42/43) ran at
+  // the smallest driver SF; newer corpora carry their SF per record so
+  // the replay uses the data the DuckDB agreement was established on.
+  private val defaultSf = "sf0.001"
 
   private def corpora: Seq[(String, Path)] =
     Files.list(fuzzDir).iterator().asScala
@@ -46,10 +49,20 @@ class FuzzCorpusSpec extends SparkSpec {
         .stripPrefix("corpus_").stripSuffix(".jsonl"), p))
       .toSeq.sortBy(_._1)
 
-  private def loadCorpus(p: Path): Seq[(String, String)] = {
+  /** Returns (sfDir, queries). A corpus is generated against ONE SF; a
+    * mixed-sf corpus is a generation bug and fails loudly here. */
+  private def loadCorpus(p: Path): (String, Seq[(String, String)]) = {
     import spark.implicits._
-    spark.read.json(p.toString)
-      .select("name", "sql").as[(String, String)].collect().toSeq.sortBy(_._1)
+    val raw = spark.read.json(p.toString)
+    val sf =
+      if (raw.columns.contains("sf")) {
+        val sfs = raw.select("sf").distinct().as[String].collect().toSeq
+        assert(sfs.size == 1, s"$p mixes scale factors: $sfs")
+        sfs.head
+      } else defaultSf
+    val qs = raw.select("name", "sql").as[(String, String)]
+      .collect().toSeq.sortBy(_._1)
+    (s"/root/testdata/$sf", qs)
   }
 
   /** Deterministic engine-side signature: columns sorted by name, cells
@@ -72,7 +85,8 @@ class FuzzCorpusSpec extends SparkSpec {
     (rows.length.toLong, md.digest().map("%02x".format(_)).mkString)
   }
 
-  private def run(corpus: Seq[(String, String)]): Map[String, (Long, String)] = {
+  private def run(sfDir: String,
+                  corpus: Seq[(String, String)]): Map[String, (Long, String)] = {
     // registerAll, not ensureViews: the shared test session may have had a
     // fixture view overwritten by another suite without the memo knowing.
     Tables.registerAll(spark, sfDir)
@@ -96,12 +110,14 @@ class FuzzCorpusSpec extends SparkSpec {
     val seed = tag.stripPrefix("seed")
     if (regen) {
       test(s"regenerate fuzz corpus goldens [$tag]") {
+        val (sfDir, corpus) = loadCorpus(corpusPath)
         val header = Seq(
-          s"# Engine result pins for the $tag differential-fuzz corpus at sf0.001.",
+          s"# Engine result pins for the $tag differential-fuzz corpus " +
+            s"at ${sfDir.split('/').last}.",
           "# Columns: name<TAB>rowcount<TAB>sha256. Regenerate ONLY after",
           s"# `python3 tools/fuzz.py --seed $seed --n 1000` exits 0 (DuckDB agreement):",
           "#   GRAFT_REGEN_FUZZ=1 sbt 'testOnly graft.FuzzCorpusSpec'")
-        val lines = run(loadCorpus(corpusPath)).toSeq.sortBy(_._1)
+        val lines = run(sfDir, corpus).toSeq.sortBy(_._1)
           .map { case (n, (c, h)) => s"$n\t$c\t$h" }
         Files.createDirectories(goldenPath.getParent)
         Files.write(goldenPath, (header ++ lines).asJava, StandardCharsets.UTF_8)
@@ -109,11 +125,11 @@ class FuzzCorpusSpec extends SparkSpec {
       }
     } else {
       test(s"fuzz corpus replays with pinned results [$tag]") {
-        val corpus = loadCorpus(corpusPath)
+        val (sfDir, corpus) = loadCorpus(corpusPath)
         val golden = loadGolden(goldenPath)
         assert(golden.size === corpus.size,
           s"corpus/golden drift: ${corpus.size} queries vs ${golden.size} pins")
-        val actual = run(corpus)
+        val actual = run(sfDir, corpus)
         val bad = actual.collect {
           case (name, got) if golden.get(name).exists(_ != got) =>
             s"$name: got rows=${got._1} hash=${got._2.take(12)}.. " +

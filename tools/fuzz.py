@@ -36,6 +36,12 @@ leaves. Committed corpora are self-contained JSONL — replay never
 re-runs the generator, so grammar growth can't silently drift an
 already-committed corpus.
 
+Each corpus record carries the SF basename it was generated (and
+DuckDB-verified) against, so the offline replay runs it on the same
+data — --sf is therefore a real fuzzing axis: the same grammar at a
+larger SF samples different literal pools (different selectivities) and
+pushes multi-batch hash tables and spills the sf0.001 corpora never hit.
+
 Usage:
   python3 tools/fuzz.py [--seed 42] [--n 1000] [--sf /root/testdata/sf0.001]
                         [--out /tmp/fuzz] [--skip-engine] [--corpus-only]
@@ -531,7 +537,11 @@ def gen_corpus(seed, n, sf_dir):
         if sql in seen:
             continue
         seen.add(sql)
-        out.append({"name": f"f{seed}_{len(out):04d}", "sql": sql})
+        # sf rides along so the offline replay (FuzzCorpusSpec) runs each
+        # corpus against the data it was DuckDB-verified on; corpora
+        # without the field (seeds 42/43) default to sf0.001 there.
+        out.append({"name": f"f{seed}_{len(out):04d}", "sql": sql,
+                    "sf": os.path.basename(os.path.normpath(sf_dir))})
     con.close()
     return out
 

@@ -35,7 +35,7 @@ HEAVY = [
     # dedup family
     "q_dedup_exact", "q_dedup_lines", "q_dedup_minhash", "q_dedup_ngram",
     "q_dedup_simhash", "q_dedup_components", "q_dedup_cosine",
-    "q_contamination",
+    "q_dedup_cosine_ivf", "q_contamination",
     # similarity search
     "q_sim_search", "q_sim_search_lsh", "q_sim_search_ivf",
     # text / pipeline ops
