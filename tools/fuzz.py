@@ -24,7 +24,11 @@ semantically identical in Spark SQL and DuckDB by construction:
   - timestamps: compared against TIMESTAMP literals, projected only as
     CAST(.. AS DATE) (naive-vs-UTC arrow tags differ on raw projection);
   - % and / only by nonzero literals (both C-style sign, / is float div
-    of ints in both).
+    of ints in both);
+  - grand-total grouping forms (ROLLUP/CUBE/GROUPING SETS incl. ())
+    only over generation-time-verified NON-EMPTY input: over an empty
+    input the standard and DuckDB emit one grand-total row, Spark's
+    Expand-based grouping emits none (seed-44 catch at sf0.01).
 
 Grammar v2 (seed-43 corpus) adds, still inside the envelope:
 ROLLUP/CUBE/GROUPING SETS, aggregate FILTER (WHERE ...) clauses,
@@ -136,8 +140,30 @@ def sample_literals(con, sf_dir):
 
 
 class Gen:
-    def __init__(self, rng, pools):
-        self.rng, self.pools = rng, pools
+    def __init__(self, rng, pools, probe=None):
+        # probe(sql) -> rows: generation-time DuckDB escape hatch for
+        # rules that depend on the data, not the grammar. Deterministic
+        # for a fixed (seed, sf): the data is fixed, so probe results are.
+        self.rng, self.pools, self.probe = rng, pools, probe
+
+    def input_nonempty(self, frm, pred):
+        """True iff FROM frm WHERE pred yields at least one row.
+
+        Grand-total grouping sets (ROLLUP/CUBE/GROUPING SETS with ())
+        over an EMPTY input are a known dialect delta: the standard (and
+        DuckDB) emit one all-NULL/zero-count grand-total row, Spark's
+        Expand-based implementation emits none (the internal grouping-id
+        column makes even the () set a grouped aggregate). Found by the
+        seed-44 sf0.01 run — a selective predicate emptied the join. The
+        generator only emits grand-total forms over provably non-empty
+        input; empty input falls back to plain GROUP BY, where both
+        engines agree (0 rows)."""
+        if self.probe is None:
+            return True
+        try:
+            return bool(self.probe(f"SELECT 1 FROM {frm} WHERE {pred} LIMIT 1"))
+        except Exception:
+            return False
 
     # ----------------------------------------------------------- helpers
     def pick(self, xs):
@@ -364,12 +390,12 @@ class Gen:
                 for _ in range(self.rng.randrange(1, 4))]
         projs = [f"{k} AS g{i}" for i, k in enumerate(keys)] + \
                 [f"{a} AS a{i}" for i, a in enumerate(aggs)]
-        sql = (f"SELECT {', '.join(projs)} FROM {frm} "
-               f"WHERE {self.predicate(scope, 1)}")
+        pred = self.predicate(scope, 1)
+        sql = f"SELECT {', '.join(projs)} FROM {frm} WHERE {pred}"
         if keys:
             kl = ", ".join(keys)
             r = self.rng.random()
-            if len(keys) >= 2 and r < 0.22:
+            if len(keys) >= 2 and r < 0.22 and self.input_nonempty(frm, pred):
                 form = self.pick([f"ROLLUP({kl})", f"CUBE({kl})",
                                   "GROUPING SETS ((" + kl + "), ("
                                   + keys[0] + "), ())"])
@@ -528,7 +554,8 @@ def gen_corpus(seed, n, sf_dir):
         con.execute(f"CREATE VIEW {t} AS SELECT * FROM "
                     f"read_parquet('{sf_dir}/{t}.parquet')")
     verify_unique(con)
-    g = Gen(random.Random(seed), sample_literals(con, sf_dir))
+    g = Gen(random.Random(seed), sample_literals(con, sf_dir),
+            probe=lambda q: con.execute(q).fetchall())
     out, seen = [], set()
     i = 0
     while len(out) < n:
