@@ -272,4 +272,27 @@ class DialectSpec extends SparkSpec {
     assert(math.abs(v - exact) / exact < 1e-9)
     assert(math.abs(sd - math.sqrt(exact)) / math.sqrt(exact) < 1e-9)
   }
+
+  test("KNOWN DELTA pin: grand-total grouping over empty input emits no row") {
+    // The SQL standard (and DuckDB, and Postgres) emit ONE grand-total
+    // row for ROLLUP/CUBE/GROUPING SETS-with-() over an EMPTY input —
+    // the () set is a global aggregate. Spark's Expand-based grouping
+    // treats every set as a grouped aggregate (the internal grouping-id
+    // column is always a key), so it emits NONE. Found by the seed-44
+    // differential-fuzz run at sf0.01 (a selective predicate emptied a
+    // join feeding GROUPING SETS); the fuzzer now only emits grand-total
+    // forms over generation-time-verified non-empty input. This pin
+    // documents the delta executably: if a Spark upgrade ever fixes it,
+    // this test fails and the fuzzer's non-empty guard can be dropped.
+    val df = spark.sql(
+      "SELECT x, COUNT(*) AS n FROM VALUES (1), (2) AS t(x) " +
+        "WHERE x > 99 GROUP BY GROUPING SETS ((x), ())")
+    assert(df.count() === 0L) // standard semantics would be 1 row
+    // ...and over non-empty input the grand-total row IS present (the
+    // hash-green q_grouping_sets entry covers the full oracled shape).
+    val nonEmpty = spark.sql(
+      "SELECT x, COUNT(*) AS n FROM VALUES (1), (2) AS t(x) " +
+        "GROUP BY GROUPING SETS ((x), ())")
+    assert(nonEmpty.count() === 3L)
+  }
 }
