@@ -40,6 +40,16 @@ leaves. Committed corpora are self-contained JSONL — replay never
 re-runs the generator, so grammar growth can't silently drift an
 already-committed corpus.
 
+Dialect axis (--dialect; the seed-45 corpus): queries are emitted as
+PAIRS — the engine side composes Impala-dialect functions (nvl-family,
+strleft/strright, quotient/fmod, adddate/months_add/dayname,
+istrue-family, type-limit constants) into random join trees, group
+keys, HAVING and subqueries; the oracle_sql side is the ANSI DuckDB
+spelling proven equivalent one-function-at-a-time by the curated
+FunctionCorpus entries. This fuzzes the DIALECT LAYER under
+composition — builder arity/type-resolution bugs that a projection
+corpus can't reach.
+
 Each corpus record carries the SF basename it was generated (and
 DuckDB-verified) against, so the offline replay runs it on the same
 data — --sf is therefore a real fuzzing axis: the same grammar at a
@@ -279,9 +289,18 @@ class Gen:
 
     # ------------------------------------------------------ FROM clause
     def from_clause(self, n_joins):
-        """Random connected subtree of the FK graph; returns (sql, scope)."""
+        """Random connected subtree of the FK graph; returns (sql, scope).
+
+        The scope dict is built from the JOIN ORDER list, not the `used`
+        set: iterating a set of strings depends on the per-process hash
+        seed, which silently made generation process-dependent (same
+        seed, different corpus across interpreter runs — caught when a
+        --skip-engine re-compare mismatched every query). Committed
+        corpora were never affected (frozen JSONL), but determinism for
+        a fixed (seed, sf) must hold across processes."""
         start = self.pick(list(TABLES))
         used = {start}
+        order = [start]
         sql = start
         for _ in range(n_joins):
             cand = [e for e in EDGES
@@ -293,7 +312,8 @@ class Gen:
             jt = self.pick(JOIN_TYPES)
             sql += f" {jt} {new} ON {c}.{ck} = {p}.{pk}"
             used.add(new)
-        return sql, {t: TABLES[t] for t in used}
+            order.append(new)
+        return sql, {t: TABLES[t] for t in order}
 
     def int_cols(self, scope):
         return [(t, c) for t in scope for c in scope[t]["ints"]]
@@ -548,18 +568,375 @@ class Gen:
         return self.q_cte()
 
 
-def gen_corpus(seed, n, sf_dir):
+class DialectGen(Gen):
+    """Dialect-axis grammar: every query is emitted as a PAIR — the
+    engine side composes Impala-dialect functions (the ImpalaFunctions
+    registry: nvl-family, strleft/strright, quotient/fmod, adddate/
+    months_add/dayname, istrue-family, type-limit constants) into random
+    join trees / aggregates / subqueries; the oracle side is the ANSI
+    DuckDB spelling of the same semantics. The curated FunctionCorpus
+    entries prove each translation in isolation (left/right, floor-div,
+    ts + INTERVAL, nullif/coalesce, IS [NOT] DISTINCT FROM); this
+    grammar is the COMPOSITION ratchet for the dialect layer itself —
+    dialect calls inside join predicates, group keys, HAVING and
+    subqueries, where builder arity/type-resolution bugs would hide.
+
+    Expressions are (engine_sql, duck_sql) tuples; neutral combinators
+    format both sides identically. Envelope rules (integer-exact
+    aggregates, doubles only compared, total-order LIMIT, NULLS FIRST)
+    are inherited unchanged. quotient numerators are abs()-wrapped so
+    the proven floor-division oracle (floor == trunc for non-negative
+    numerators) stays exact."""
+
+    DAYS = ["Monday", "Tuesday", "Wednesday", "Thursday", "Friday",
+            "Saturday", "Sunday"]
+
+    def both(self, s):
+        return (s, s)
+
+    def fmt(self, eng, duck, *args):
+        if not args:  # already-final strings; .format would choke on
+            return (eng, duck)  # literal braces in data-drawn literals
+        return (eng.format(*[a[0] for a in args]),
+                duck.format(*[a[1] for a in args]))
+
+    # ------------------------------------------------- paired expressions
+    def d_int(self, cols, depth=2):
+        r = self.rng.random()
+        if depth <= 0 or r < 0.30:
+            if cols and self.rng.random() < 0.85:
+                t, c = self.pick(cols)
+                return self.both(f"{t}.{c}")
+            return self.both(str(self.rng.randrange(1, 50)))
+        a = self.d_int(cols, depth - 1)
+        if r < 0.38:
+            t, c = self.pick(cols) if cols else (None, None)
+            col = self.both(f"{t}.{c}") if cols else self.both("7")
+            k = self.rng.randrange(2, 12)
+            kind = self.rng.randrange(4)
+            if kind == 0:
+                return self.fmt("zeroifnull({0})", "coalesce({0}, 0)", col)
+            if kind == 1:
+                return self.fmt(f"nullifzero(({{0}} % {k}))",
+                                f"nullif(({{0}} % {k}), 0)", col)
+            if kind == 2:
+                lit = self.lit_of(t, c, "int") if cols else "3"
+                return self.fmt(f"isnull(nullifzero(({{0}} % {k})), {lit})",
+                                f"coalesce(nullif(({{0}} % {k}), 0), {lit})",
+                                col)
+            return self.fmt(f"quotient(abs({{0}}), {k})",
+                            f"CAST(floor(abs({{0}}) / {k}) AS BIGINT)", a)
+        if r < 0.48:
+            return self.fmt("({0} + {1})", "({0} + {1})",
+                            a, self.d_int(cols, depth - 1))
+        if r < 0.58:
+            return self.fmt("({0} - {1})", "({0} - {1})",
+                            a, self.d_int(cols, depth - 1))
+        if r < 0.66:
+            k = self.rng.randrange(2, 8)
+            return self.fmt(f"({{0}} * {k})", f"({{0}} * {k})", a)
+        if r < 0.74:
+            k = self.rng.randrange(2, 14)
+            return self.fmt(f"({{0}} % {k})", f"({{0}} % {k})", a)
+        if r < 0.82:
+            b = self.d_int(cols, depth - 1)
+            fn = self.pick(["greatest", "least"])
+            return self.fmt(f"{fn}({{0}}, {{1}})", f"{fn}({{0}}, {{1}})", a, b)
+        if r < 0.90:
+            # type-limit constants clamp a computed value (engine folds the
+            # call; oracle uses the literal the constant denotes)
+            lim, v = self.pick([("max_smallint()", 32767),
+                                ("max_tinyint()", 127),
+                                ("min_tinyint()", -128)])
+            return self.fmt(f"least({{0}}, {lim})", f"least({{0}}, {v})", a)
+        p = self.d_pred_atom({t: TABLES[t] for t, _ in cols} if cols else {})
+        b = self.d_int(cols, depth - 1)
+        return self.fmt("(CASE WHEN {0} THEN {1} ELSE {2} END)",
+                        "(CASE WHEN {0} THEN {1} ELSE {2} END)", p, a, b)
+
+    def d_str(self, cols, depth=1):
+        if not cols:
+            return self.both("'k'")
+        t, c = self.pick(cols)
+        base = self.both(f"{t}.{c}")
+        if depth <= 0 or self.rng.random() < 0.35:
+            return base
+        r = self.rng.random()
+        if r < 0.30:
+            n = self.rng.randrange(1, 9)
+            return self.fmt(f"strleft({{0}}, {n})", f"left({{0}}, {n})", base)
+        if r < 0.55:
+            n = self.rng.randrange(1, 7)
+            return self.fmt(f"strright({{0}}, {n})", f"right({{0}}, {n})", base)
+        if r < 0.70:
+            fn = self.pick(["upper", "lower", "trim"])
+            return self.fmt(f"{fn}({{0}})", f"{fn}({{0}})", base)
+        if r < 0.85:
+            return self.fmt("({0} || {1})", "({0} || {1})",
+                            base, self.d_str(cols, 0))
+        n = self.rng.randrange(1, 6)
+        return self.fmt(f"strleft(upper({{0}}), {n})",
+                        f"left(upper({{0}}), {n})", base)
+
+    def d_date(self, t, c):
+        """Timestamp arithmetic projected as DATE (envelope rule)."""
+        n = self.rng.randrange(1, 400)
+        fn, unit = self.pick([
+            ("adddate", "DAY"), ("subdate", "DAY"),
+            ("days_add", "DAY"), ("days_sub", "DAY"),
+            ("weeks_add", "WEEK"), ("months_add", "MONTH"),
+            ("months_sub", "MONTH"), ("years_add", "YEAR"),
+            ("hours_add", "HOUR")])
+        if unit in ("MONTH", "YEAR"):
+            n = self.rng.randrange(1, 30)
+        sign = "-" if fn.endswith("_sub") or fn == "subdate" else "+"
+        return (f"CAST({fn}({t}.{c}, {n}) AS DATE)",
+                f"CAST({t}.{c} {sign} INTERVAL {n} {unit} AS DATE)")
+
+    def d_pred_atom(self, scope):
+        tabs = [t for t in scope]
+        if not tabs:
+            return self.both("1 = 1")
+        t = self.pick(tabs)
+        cols = scope[t]
+        r = self.rng.random()
+        if cols["ints"] and r < 0.40:
+            ic = [(t, c) for c in cols["ints"]]
+            e = self.d_int(ic, 1)
+            c = self.pick(cols["ints"])
+            op = self.pick(["<", "<=", "=", "<>", ">", ">="])
+            lit = self.lit_of(t, c, "int")
+            inner = self.fmt(f"{{0}} {op} {lit}", f"{{0}} {op} {lit}", e)
+            wr = self.rng.random()
+            if wr < 0.25:
+                return self.fmt("istrue({0})",
+                                "(({0}) IS NOT DISTINCT FROM true)", inner)
+            if wr < 0.35:
+                return self.fmt("isnotfalse({0})",
+                                "(NOT (({0}) IS NOT DISTINCT FROM false))",
+                                inner)
+            return inner
+        if cols["strs"] and r < 0.65:
+            sc = [(t, c) for c in cols["strs"]]
+            e = self.d_str(sc, 1)
+            c = self.pick(cols["strs"])
+            op = self.pick(["=", "<>", "<", ">"])
+            lit = self.lit_of(t, c, "str")
+            if self.rng.random() < 0.3:
+                n = self.rng.randrange(1, 4)
+                v = lit.strip("'")[:n].replace("'", "''")
+                return self.fmt(f"strleft({t}.{c}, {n}) = '{v}'",
+                                f"left({t}.{c}, {n}) = '{v}'")
+            return self.fmt(f"{{0}} {op} {lit}", f"{{0}} {op} {lit}", e)
+        if cols["dbls"] and r < 0.80:
+            c = self.pick(cols["dbls"])
+            k = self.pick(["2.5", "3.75", "7.5"])
+            op = self.pick(["<", ">="])
+            lit = self.pick(["0.5", "1.0", "1.75", "2.0"])
+            if self.rng.random() < 0.5:
+                # Seed-45's first catch: DuckDB fmod is FLOOR-mod (result
+                # sign follows the divisor: fmod(-5.3, 2.5) = 2.2) where
+                # Impala/Spark/C fmod is truncation-mod (sign follows the
+                # dividend: -0.3) — divergent on every negative dividend
+                # (11/1000 queries via the 11 negative c_acctbal rows).
+                # The engine matches the reference (math-functions.cc
+                # delegates to C fmod); the oracle folds the sign instead:
+                # C-fmod(x,k) = sign(x) * fmod(|x|,k), exact because the
+                # positive-case remainders are bit-identical both sides.
+                return (f"fmod({t}.{c}, {k}) {op} {lit}",
+                        f"(CASE WHEN {t}.{c} >= 0 THEN fmod({t}.{c}, {k}) "
+                        f"ELSE -fmod(-{t}.{c}, {k}) END) {op} {lit}")
+            op2 = self.pick(["<", "<=", ">", ">="])
+            return self.both(f"{t}.{c} {op2} {self.lit_of(t, c, 'dbl')}")
+        if cols["ts"]:
+            c = self.pick(cols["ts"])
+            if self.rng.random() < 0.5:
+                d = self.pick(self.DAYS)
+                return self.both(f"dayname({t}.{c}) = '{d}'")
+            op = self.pick(["<", ">=", ">"])
+            return self.both(f"{t}.{c} {op} {self.lit_of(t, c, 'ts')}")
+        if cols["ints"]:
+            c = self.pick(cols["ints"])
+            kind = self.rng.randrange(3)
+            if kind == 0:
+                return self.fmt(f"nonnullvalue({t}.{c})",
+                                f"({t}.{c} IS NOT NULL)")
+            if kind == 1:
+                return self.fmt(f"nullvalue(nullifzero({t}.{c} % 5))",
+                                f"(nullif({t}.{c} % 5, 0) IS NULL)")
+            return self.both(f"{t}.{c} >= {self.lit_of(t, c, 'int')}")
+        return self.both("1 = 1")
+
+    def d_pred(self, scope, depth=2):
+        if depth > 0 and self.rng.random() < 0.4:
+            a = self.d_pred(scope, depth - 1)
+            b = self.d_pred(scope, depth - 1)
+            op = self.pick(["AND", "AND", "OR"])
+            neg = "NOT " if self.rng.random() < 0.12 else ""
+            return self.fmt(f"{neg}({{0}} {op} {{1}})",
+                            f"{neg}({{0}} {op} {{1}})", a, b)
+        return self.d_pred_atom(scope)
+
+    # -------------------------------------------------------- query kinds
+    def d_proj(self, scope, i):
+        ic, sc = self.int_cols(scope), self.str_cols(scope)
+        tcols = [(t, c) for t in scope for c in scope[t]["ts"]]
+        r = self.rng.random()
+        if r < 0.40 or (not sc and not tcols):
+            e = self.d_int(ic)
+        elif r < 0.75 or not tcols:
+            e = self.d_str(sc)
+        else:
+            t, c = self.pick(tcols)
+            e = self.d_date(t, c)
+        return self.fmt(f"{{0}} AS c{i}", f"{{0}} AS c{i}", e)
+
+    def dq_select(self):
+        frm, scope = self.from_clause(self.rng.randrange(0, 3))
+        projs = [self.d_proj(scope, i)
+                 for i in range(self.rng.randrange(2, 5))]
+        pred = self.d_pred(scope)
+        distinct = "DISTINCT " if self.rng.random() < 0.2 else ""
+        pair = self.fmt(
+            f"SELECT {distinct}{{0}} FROM {frm} WHERE {{1}}",
+            f"SELECT {distinct}{{0}} FROM {frm} WHERE {{1}}",
+            (", ".join(p[0] for p in projs), ", ".join(p[1] for p in projs)),
+            pred)
+        if self.rng.random() < 0.3:
+            order = ", ".join(f"c{i} NULLS FIRST" for i in range(len(projs)))
+            lim = self.rng.randrange(5, 200)
+            pair = self.fmt(f"{{0}} ORDER BY {order} LIMIT {lim}",
+                            f"{{0}} ORDER BY {order} LIMIT {lim}", pair)
+        return pair
+
+    def dq_agg(self):
+        frm, scope = self.from_clause(self.rng.randrange(0, 4))
+        ic, sc = self.int_cols(scope), self.str_cols(scope)
+        tcols = [(t, c) for t in scope for c in scope[t]["ts"]]
+        keys = []
+        for _ in range(self.rng.randrange(1, 3)):
+            r = self.rng.random()
+            if sc and r < 0.45:
+                t, c = self.pick(sc)
+                n = self.rng.randrange(1, 4)
+                keys.append((f"strleft({t}.{c}, {n})", f"left({t}.{c}, {n})"))
+            elif tcols and r < 0.65:
+                t, c = self.pick(tcols)
+                keys.append(self.both(f"dayname({t}.{c})"))
+            elif ic:
+                t, c = self.pick(ic)
+                k = self.rng.randrange(2, 20)
+                if self.rng.random() < 0.4:
+                    keys.append((f"zeroifnull(nullifzero({t}.{c} % {k}))",
+                                 f"coalesce(nullif({t}.{c} % {k}, 0), 0)"))
+                else:
+                    keys.append(self.both(f"({t}.{c} % {k})"))
+        if not keys:
+            keys = [self.both("1")]
+        aggs = []
+        for _ in range(self.rng.randrange(1, 4)):
+            r = self.rng.random()
+            if r < 0.35:
+                aggs.append(self.fmt("CAST(SUM({0}) AS BIGINT)",
+                                     "CAST(SUM({0}) AS BIGINT)",
+                                     self.d_int(ic, 1)))
+            elif r < 0.55:
+                aggs.append(self.both("COUNT(*)"))
+            elif r < 0.70:
+                aggs.append(self.fmt("COUNT(DISTINCT {0})",
+                                     "COUNT(DISTINCT {0})",
+                                     self.d_int(ic, 1)))
+            elif r < 0.85 or not sc:
+                fn = self.pick(["MIN", "MAX"])
+                aggs.append(self.fmt(f"{fn}({{0}})", f"{fn}({{0}})",
+                                     self.d_int(ic, 1)))
+            else:
+                fn = self.pick(["MIN", "MAX"])
+                aggs.append(self.fmt(f"{fn}({{0}})", f"{fn}({{0}})",
+                                     self.d_str(sc, 1)))
+        pred = self.d_pred(scope, 1)
+        eng_projs = [f"{k[0]} AS g{i}" for i, k in enumerate(keys)] + \
+                    [f"{a[0]} AS a{i}" for i, a in enumerate(aggs)]
+        duck_projs = [f"{k[1]} AS g{i}" for i, k in enumerate(keys)] + \
+                     [f"{a[1]} AS a{i}" for i, a in enumerate(aggs)]
+        eng = (f"SELECT {', '.join(eng_projs)} FROM {frm} "
+               f"WHERE {pred[0]} GROUP BY {', '.join(k[0] for k in keys)}")
+        duck = (f"SELECT {', '.join(duck_projs)} FROM {frm} "
+                f"WHERE {pred[1]} GROUP BY {', '.join(k[1] for k in keys)}")
+        if self.rng.random() < 0.35:
+            hv = self.rng.randrange(0, 4)
+            eng += f" HAVING COUNT(*) > {hv}"
+            duck += f" HAVING COUNT(*) > {hv}"
+        return (eng, duck)
+
+    def dq_subquery(self):
+        child, parent, ck, pk = self.pick(EDGES)
+        outer, inner = ((child, parent) if self.rng.random() < 0.5
+                        else (parent, child))
+        okey = ck if outer == child else pk
+        ikey = pk if outer == child else ck
+        oscope = {outer: TABLES[outer]}
+        iscope = {inner: TABLES[inner]}
+        ic = self.int_cols(oscope)
+        projs = [self.fmt(f"{{0}} AS c{i}", f"{{0}} AS c{i}",
+                          self.d_int(ic, 1)) for i in range(2)]
+        ipred = self.d_pred(iscope, 1)
+        r = self.rng.random()
+        if r < 0.4:
+            sub = self.fmt(
+                f"{outer}.{okey} IN (SELECT {inner}.{ikey} FROM {inner} "
+                f"WHERE {{0}})",
+                f"{outer}.{okey} IN (SELECT {inner}.{ikey} FROM {inner} "
+                f"WHERE {{0}})", ipred)
+        elif r < 0.75:
+            neg = "NOT " if self.rng.random() < 0.4 else ""
+            sub = self.fmt(
+                f"{neg}EXISTS (SELECT 1 FROM {inner} WHERE "
+                f"{inner}.{ikey} = {outer}.{okey} AND {{0}})",
+                f"{neg}EXISTS (SELECT 1 FROM {inner} WHERE "
+                f"{inner}.{ikey} = {outer}.{okey} AND {{0}})", ipred)
+        else:
+            iic = self.int_cols(iscope)
+            agg = self.pick(["MIN", "MAX"])
+            e = self.d_int(iic, 1)
+            sub = self.fmt(
+                f"{outer}.{okey} <= (SELECT {agg}({{0}}) FROM {inner} "
+                f"WHERE {{1}})",
+                f"{outer}.{okey} <= (SELECT {agg}({{0}}) FROM {inner} "
+                f"WHERE {{1}})", e, ipred)
+        opred = self.d_pred(oscope, 1)
+        return self.fmt(
+            f"SELECT {projs[0][0]}, {projs[1][0]} FROM {outer} "
+            f"WHERE {{0}} AND {{1}}",
+            f"SELECT {projs[0][1]}, {projs[1][1]} FROM {outer} "
+            f"WHERE {{0}} AND {{1}}",
+            sub, opred)
+
+    def query_pair(self):
+        r = self.rng.random()
+        if r < 0.40:
+            return self.dq_select()
+        if r < 0.80:
+            return self.dq_agg()
+        return self.dq_subquery()
+
+
+def gen_corpus(seed, n, sf_dir, dialect=False):
     con = duckdb.connect()
     for t in TABLES:
         con.execute(f"CREATE VIEW {t} AS SELECT * FROM "
                     f"read_parquet('{sf_dir}/{t}.parquet')")
     verify_unique(con)
-    g = Gen(random.Random(seed), sample_literals(con, sf_dir),
+    cls = DialectGen if dialect else Gen
+    g = cls(random.Random(seed), sample_literals(con, sf_dir),
             probe=lambda q: con.execute(q).fetchall())
     out, seen = [], set()
     i = 0
     while len(out) < n:
-        sql = g.query()
+        if dialect:
+            sql, oracle = g.query_pair()
+        else:
+            sql, oracle = g.query(), None
         i += 1
         if sql in seen:
             continue
@@ -567,8 +944,11 @@ def gen_corpus(seed, n, sf_dir):
         # sf rides along so the offline replay (FuzzCorpusSpec) runs each
         # corpus against the data it was DuckDB-verified on; corpora
         # without the field (seeds 42/43) default to sf0.001 there.
-        out.append({"name": f"f{seed}_{len(out):04d}", "sql": sql,
-                    "sf": os.path.basename(os.path.normpath(sf_dir))})
+        rec = {"name": f"f{seed}_{len(out):04d}", "sql": sql,
+               "sf": os.path.basename(os.path.normpath(sf_dir))}
+        if oracle is not None and oracle != sql:
+            rec["oracle_sql"] = oracle
+        out.append(rec)
     con.close()
     return out
 
@@ -583,11 +963,14 @@ def main():
                     help="write queries.jsonl and exit")
     ap.add_argument("--skip-engine", action="store_true",
                     help="reuse an existing engine output dir")
+    ap.add_argument("--dialect", action="store_true",
+                    help="dialect-axis grammar: engine runs Impala-dialect "
+                         "SQL, DuckDB runs the paired ANSI translation")
     ap.add_argument("--max-print", type=int, default=8)
     a = ap.parse_args()
 
     os.makedirs(a.out, exist_ok=True)
-    corpus = gen_corpus(a.seed, a.n, a.sf)
+    corpus = gen_corpus(a.seed, a.n, a.sf, dialect=a.dialect)
     qfile = f"{a.out}/queries.jsonl"
     with open(qfile, "w") as f:
         for q in corpus:
@@ -617,9 +1000,11 @@ def main():
     n_pass = n_fail = 0
     fails = []
     for q in corpus:
-        name, sql = q["name"], q["sql"]
+        # dialect-axis corpora carry a paired ANSI oracle_sql; DuckDB runs
+        # that side, the engine always runs "sql" (the Impala dialect).
+        name, sql = q["name"], q.get("oracle_sql", q["sql"])
         if name in err_names:
-            n_fail += 1; fails.append((name, "engine_error", sql)); continue
+            n_fail += 1; fails.append((name, "engine_error", q["sql"])); continue
         try:
             dtbl = con.execute(sql).fetch_arrow_table()
         except Exception as e:
