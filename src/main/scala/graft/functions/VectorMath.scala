@@ -39,6 +39,23 @@ object VectorMath {
     acc
   }
 
+  /** Integer dot product over two int8 code arrays (the quantized-ANN
+    * candidate-scoring kernel): Σ qa_i·qb_i accumulated in long — exact,
+    * order-independent, no floating point anywhere. Null on length
+    * mismatch / null element, mirroring [[dot]]. */
+  def dotQ8(a: ArrayData, b: ArrayData): java.lang.Long = {
+    val n = a.numElements()
+    if (n != b.numElements()) return null
+    var acc = 0L
+    var i = 0
+    while (i < n) {
+      if (a.isNullAt(i) || b.isNullAt(i)) return null
+      acc += a.getByte(i).toLong * b.getByte(i).toLong
+      i += 1
+    }
+    acc
+  }
+
   /** cosine(a, b) = dot/(|a|*|b|), all three folds sequential in element
     * order; null on length mismatch / null element. */
   def cosine(a: ArrayData, aFloat: Boolean, b: ArrayData, bFloat: Boolean): java.lang.Double = {
@@ -128,5 +145,52 @@ case class CosineSimilarity(left: Expression, right: Expression) extends VectorB
   override protected def kernel: String = "cosine"
   override def prettyName: String = "cosine_similarity"
   override protected def withNewChildrenInternal(l: Expression, r: Expression): CosineSimilarity =
+    copy(left = l, right = r)
+}
+
+/** `dot_product_q8(a, b)` — exact integer dot product over int8
+  * quantization codes (`array<tinyint>`), accumulated in long. The scoring
+  * kernel of the scalar-quantized ANN path: the corpus scan touches 1 byte
+  * per dimension instead of 4, and the hot loop is pure integer
+  * multiply-add inside whole-stage codegen. */
+case class DotProductQ8(left: Expression, right: Expression) extends BinaryExpression {
+  override def dataType: DataType = LongType
+  override def nullable: Boolean = true // length mismatch / null element
+  override def prettyName: String = "dot_product_q8"
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult = {
+    def ok(t: DataType) = t match {
+      case ArrayType(ByteType, _) => true
+      case _ => false
+    }
+    if (ok(left.dataType) && ok(right.dataType))
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    else
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+        s"$prettyName expects array<tinyint> inputs, got " +
+          s"${left.dataType.catalogString} and ${right.dataType.catalogString}")
+  }
+
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val r = VectorMath.dotQ8(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+    if (r == null) null else r.longValue()
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val vm = classOf[VectorMath.type].getName.stripSuffix("$")
+    val boxed = ctx.freshName("boxed")
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      s"""
+         |java.lang.Long $boxed = $vm.dotQ8($a, $b);
+         |if ($boxed == null) {
+         |  ${ev.isNull} = true;
+         |} else {
+         |  ${ev.value} = $boxed.longValue();
+         |}
+       """.stripMargin
+    })
+  }
+
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): DotProductQ8 =
     copy(left = l, right = r)
 }

@@ -31,18 +31,23 @@ class PlanHygieneSpec extends SparkSpec {
     *   scalar-sum blocks cross-joined for the promo/total ratio;
     * - q_sim_search_ivf_raw: the probe step ranks every query against the
     *   broadcast CENTROID table (nCentroids=32 rows) — the nested loop's
-    *   build side is the centroid count, never the corpus. */
+    *   build side is the centroid count, never the corpus;
+    * - q_sim_search_q8 / q_sim_search_q8_raw: the quantized scoring scan
+    *   broadcasts the small QUERY index over the corpus codes (the scalar
+    *   quantization design — full scan at 1 byte/dim, no bucketing), same
+    *   bounded-build-side shape as q_sim_search. */
   private val allowedNestedLoop = Set(
     "q_join_cross", "q_sim_search", "q_sim_search_lsh", "q_sim_search_ivf",
     "q_dedup_cosine", "q_dedup_cosine_ivf", "q_ds88_multicount",
-    "q_ds61_promo_ratio", "q_sim_search_ivf_raw")
+    "q_ds61_promo_ratio", "q_sim_search_ivf_raw",
+    "q_sim_search_q8", "q_sim_search_q8_raw")
 
   /** Entries whose GLOBAL (unpartitioned) window is the design:
     * q_sim_search_lsh / q_sim_search_ivf — annGatedExact's recall window
     * runs over nQueries×k rows (≤30) by construction; the verdict scalar
-    * needs the whole frame. (These are also the only two hits in the
-    * whole catalog — verified by removing the allowlist.) */
-  private val allowedGlobalWindow = Set("q_sim_search_lsh", "q_sim_search_ivf")
+    * needs the whole frame; q_sim_search_q8 embeds the same gate. */
+  private val allowedGlobalWindow =
+    Set("q_sim_search_lsh", "q_sim_search_ivf", "q_sim_search_q8")
 
   test("no entry plans an unpartitioned window over an unbounded relation") {
     val dir = "/root/testdata/sf0.001"

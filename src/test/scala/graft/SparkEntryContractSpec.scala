@@ -13,7 +13,8 @@ class SparkEntryContractSpec extends AnyFunSuite {
     * bucket contents DuckDB can't derive — their gated twins
     * (q_sim_search_lsh/ivf) carry the hash-checked oracle. Anything else
     * missing an oracle is a typo this spec exists to catch. */
-  private val rowsOnlyByDesign = Set("q_sim_search_lsh_raw", "q_sim_search_ivf_raw")
+  private val rowsOnlyByDesign =
+    Set("q_sim_search_lsh_raw", "q_sim_search_ivf_raw", "q_sim_search_q8_raw")
 
   test("queries and oracleSql cover the same entry names") {
     val q = SparkEntry.queries.keySet
