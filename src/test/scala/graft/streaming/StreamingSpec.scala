@@ -102,6 +102,41 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming document ingest equals the batch gate + dedup on bounded replay") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    // real corpus text, synthetic ingest times; duplicates planted BOTH
+    // within a batch and across batches so the dedup state must span
+    // micro-batches
+    val corpus = graft.Tables.load(spark, "/root/testdata/sf0.001", "documents")
+      .select("doc_id", "lang", "text").limit(60).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2)))
+    val docs = (corpus ++ corpus.take(15)).zipWithIndex.map { case ((id, lang, text), i) =>
+      DocumentStream.Doc(1000L + i,
+        java.sql.Timestamp.valueOf(f"2024-01-01 10:${i % 60}%02d:00"), lang, text)
+    }
+    val cutoffs = DocumentStream.calibrateCutoffs(
+      graft.Tables.load(spark, "/root/testdata/sf0.001", "documents"))
+    val mem = MemoryStream[DocumentStream.Doc]
+    val q = DocumentStream.ingest(mem.toDF(), cutoffs).writeStream
+      .format("memory").queryName("ingested_docs").outputMode("append").start()
+    try {
+      val (b1, b2) = docs.splitAt(40)
+      mem.addData(b1); q.processAllAvailable()
+      mem.addData(b2); q.processAllAvailable()
+      val got = spark.table("ingested_docs")
+      // batch reference: the same stateless gate, deduped by fingerprint
+      val want = DocumentStream.gate(docs.toSeq.toDF(), cutoffs)
+      assert(got.select("fp").collect().map(_.getString(0)).sorted.toSeq ===
+        want.select("fp").distinct().collect().map(_.getString(0)).sorted.toSeq)
+      // dedup was exercised: the replay contained duplicate texts
+      assert(want.count() > want.select("fp").distinct().count())
+      // the gate actually rejected something, and survivors are scrubbed
+      assert(want.count() < docs.length)
+      assert(got.count() > 0)
+    } finally q.stop()
+  }
+
   test("stream-stream interval join equals the batch interval join on bounded replay") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext

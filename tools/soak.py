@@ -38,6 +38,7 @@ HEAVY = [
     "q_dedup_cosine_ivf", "q_contamination",
     # similarity search
     "q_sim_search", "q_sim_search_lsh", "q_sim_search_ivf",
+    "q_sim_search_q8", "q_sim_search_q8_raw",
     # text / pipeline ops
     "q_pipeline_e2e", "q_split_leakage_safe", "q_text_stats",
     "q_rep_filters", "q_quality_filter", "q_mix_weighted", "q_vocab_topk",
