@@ -134,6 +134,7 @@ object ImpalaFunctions {
     "dot_product" -> { case Seq(a, b) => DotProduct(a, b) },
     "cosine_similarity" -> { case Seq(a, b) => CosineSimilarity(a, b) },
     "dot_product_q8" -> { case Seq(a, b) => DotProductQ8(a, b) },
+    "quantize_q8" -> { case Seq(v) => QuantizeQ8(v) },
 
     // ---- variance aliases (BuiltinsDb.java registers variance_pop/
     // variance_samp alongside var_pop/var_samp; Spark only ships the

@@ -56,6 +56,46 @@ object VectorMath {
     acc
   }
 
+  /** Full int8 scalar-quantization index row for one vector, in ONE pass:
+    * (codes array<tinyint>, o double, s double, sumq long, nrm double)
+    * with v_i ≈ o + s·q_i (asymmetric affine, s = range/255,
+    * o = min + 128s) and nrm the exact float norm. Replaces three
+    * interpreted higher-order-function folds (transform + aggregate +
+    * norm) that dominated index-build time ~10:1; null on any null
+    * element. Returned as an InternalRow for the QuantizeQ8 expression. */
+  def quantizeQ8(v: ArrayData, isFloat: Boolean):
+      org.apache.spark.sql.catalyst.InternalRow = {
+    val n = v.numElements()
+    var vmin = Double.PositiveInfinity
+    var vmax = Double.NegativeInfinity
+    var nrm2 = 0.0
+    var i = 0
+    while (i < n) {
+      if (v.isNullAt(i)) return null
+      val x = elem(v, i, isFloat)
+      if (x < vmin) vmin = x
+      if (x > vmax) vmax = x
+      nrm2 += x * x
+      i += 1
+    }
+    // constant vector → zero range: any s reconstructs exactly via o
+    val s = if (vmax > vmin) (vmax - vmin) / 255.0 else 1.0
+    val codes = new Array[Byte](n)
+    var sumq = 0L
+    i = 0
+    while (i < n) {
+      val q0 = Math.round((elem(v, i, isFloat) - vmin) / s)
+      val q = (if (q0 > 255L) 255L else q0) - 128L
+      codes(i) = q.toByte
+      sumq += q
+      i += 1
+    }
+    new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+      Array[Any](
+        org.apache.spark.sql.catalyst.expressions.UnsafeArrayData.fromPrimitiveArray(codes),
+        vmin + 128.0 * s, s, sumq, math.sqrt(nrm2)))
+  }
+
   /** cosine(a, b) = dot/(|a|*|b|), all three folds sequential in element
     * order; null on length mismatch / null element. */
   def cosine(a: ArrayData, aFloat: Boolean, b: ArrayData, bFloat: Boolean): java.lang.Double = {
@@ -146,6 +186,63 @@ case class CosineSimilarity(left: Expression, right: Expression) extends VectorB
   override def prettyName: String = "cosine_similarity"
   override protected def withNewChildrenInternal(l: Expression, r: Expression): CosineSimilarity =
     copy(left = l, right = r)
+}
+
+/** `quantize_q8(v)` — one-pass int8 scalar quantization of a float/double
+  * vector into its index row: struct(qv array<tinyint>, o, s, sumq, nrm).
+  * The ANN index-build kernel: a single codegen'd loop replacing three
+  * interpreted higher-order-function folds (min/max + codes + Σq + norm),
+  * measured ~10× on the corpus quantization stage. */
+case class QuantizeQ8(child: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
+
+  override def dataType: DataType = QuantizeQ8.schema
+  override def nullable: Boolean = true // null element → null row
+  override def prettyName: String = "quantize_q8"
+
+  private def elementIsFloat: Boolean = child.dataType match {
+    case ArrayType(FloatType, _) => true
+    case _ => false
+  }
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case ArrayType(FloatType | DoubleType, _) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case other =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"$prettyName expects array<float|double>, got ${other.catalogString}")
+    }
+
+  override def nullSafeEval(v: Any): Any =
+    VectorMath.quantizeQ8(v.asInstanceOf[ArrayData], elementIsFloat)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val vm = classOf[VectorMath.type].getName.stripSuffix("$")
+    val row = ctx.freshName("qrow")
+    nullSafeCodeGen(ctx, ev, v => {
+      s"""
+         |InternalRow $row = $vm.quantizeQ8($v, $elementIsFloat);
+         |if ($row == null) {
+         |  ${ev.isNull} = true;
+         |} else {
+         |  ${ev.value} = $row;
+         |}
+       """.stripMargin
+    })
+  }
+
+  override protected def withNewChildInternal(c: Expression): QuantizeQ8 =
+    copy(child = c)
+}
+
+object QuantizeQ8 {
+  val schema: StructType = StructType(Seq(
+    StructField("qv", ArrayType(ByteType, containsNull = false), nullable = false),
+    StructField("o", DoubleType, nullable = false),
+    StructField("s", DoubleType, nullable = false),
+    StructField("sumq", LongType, nullable = false),
+    StructField("nrm", DoubleType, nullable = false)))
 }
 
 /** `dot_product_q8(a, b)` — exact integer dot product over int8

@@ -155,22 +155,8 @@ object Similarity {
     * work an integer multiply-add fold (dot_product_q8, codegen'd):
     *   dot(a,b) ≈ d·oa·ob + oa·sb·Σqb + ob·sa·Σqa + sa·sb·Σ(qa·qb).
     */
-  def quantizeQ8(vec: Column): Column = {
-    val vmin = array_min(vec).cast("double")
-    val vmax = array_max(vec).cast("double")
-    // constant vector → zero range: any s reconstructs exactly via o; use 1
-    // to keep the division defined (codes all -128, o = the constant).
-    val s = when(vmax > vmin, (vmax - vmin) / 255.0).otherwise(lit(1.0))
-    val codes = transform(vec, x =>
-      (least(round((x.cast("double") - vmin) / s), lit(255L)) - 128L).cast("tinyint"))
-    val sumq = aggregate(codes, lit(0L), (acc, q) => acc + q.cast("long"))
-    struct(
-      codes.as("qv"),
-      (vmin + lit(128.0) * s).as("o"),
-      s.as("s"),
-      sumq.as("sumq"),
-      sqrt(dot(vec, vec)).as("nrm"))
-  }
+  def quantizeQ8(vec: Column): Column =
+    call_function("quantize_q8", vec)
 
   /** Approximate cosine from two quantized index rows (structs produced by
     * [[quantizeQ8]]): integer code dot + the affine correction terms, over

@@ -912,13 +912,86 @@ class DialectGen(Gen):
             f"WHERE {{0}} AND {{1}}",
             sub, opred)
 
+    def dq_window(self):
+        """Analytic functions over DIALECT expressions — the AnalyticEval
+        surface (SURVEY §2.5) composed with the dialect layer: partition
+        keys, order-by prefixes and function arguments all draw from the
+        paired Impala/ANSI expression grammar. Window functions themselves
+        are spelled identically in both engines; determinism comes from
+        the same total-order envelope as the common grammar (unique-key
+        tail verified against the data by verify_unique)."""
+        t = self.pick([x for x in TABLES if TABLES[x]["uniq"]])
+        scope = {t: TABLES[t]}
+        ic = self.int_cols(scope)
+        sc = self.str_cols(scope)
+        uniq = ", ".join(f"{t}.{c}" for c in TABLES[t]["uniq"])
+        part = ("", "")
+        pr = self.rng.random()
+        if sc and pr < 0.55:
+            e = self.d_str(sc, 1)
+            part = (f"PARTITION BY {e[0]} ", f"PARTITION BY {e[1]} ")
+        elif ic and pr < 0.80:
+            tt, c = self.pick(ic)
+            k = self.rng.randrange(2, 9)
+            part = (f"PARTITION BY zeroifnull(nullifzero({tt}.{c} % {k})) ",
+                    f"PARTITION BY coalesce(nullif({tt}.{c} % {k}, 0), 0) ")
+        prefix = ("", "")
+        if ic and self.rng.random() < 0.5:
+            e = self.d_int(ic, 1)
+            prefix = (f"{e[0]}, ", f"{e[1]}, ")
+        over = (f"({part[0]}ORDER BY {prefix[0]}{uniq})",
+                f"({part[1]}ORDER BY {prefix[1]}{uniq})")
+        r = self.rng.random()
+        if r < 0.20:
+            fn = self.pick(["ROW_NUMBER()", "RANK()", "DENSE_RANK()"])
+            w = self.fmt(f"{fn} OVER {{0}}", f"{fn} OVER {{0}}", over)
+        elif r < 0.35:
+            n = self.rng.randrange(2, 8)
+            w = self.fmt(f"NTILE({n}) OVER {{0}}",
+                         f"NTILE({n}) OVER {{0}}", over)
+        elif r < 0.60:
+            fn = self.pick(["LAG", "LEAD"])
+            e = self.d_int(ic, 1)
+            w = self.fmt(f"{fn}({{0}}, 1, 0) OVER {{1}}",
+                         f"{fn}({{0}}, 1, 0) OVER {{1}}", e, over)
+        elif r < 0.78:
+            if self.rng.random() < 0.5:
+                frame, fn = ("ROWS BETWEEN UNBOUNDED PRECEDING AND "
+                             "CURRENT ROW"), "FIRST_VALUE"
+            else:
+                frame, fn = ("ROWS BETWEEN CURRENT ROW AND UNBOUNDED "
+                             "FOLLOWING"), "LAST_VALUE"
+            over = (over[0][:-1] + f" {frame})", over[1][:-1] + f" {frame})")
+            e = self.d_int(ic, 1)
+            w = self.fmt(f"{fn}({{0}}) OVER {{1}}",
+                         f"{fn}({{0}}) OVER {{1}}", e, over)
+        else:
+            frame = self.pick([
+                "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW",
+                "RANGE BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW",
+                f"ROWS BETWEEN {self.rng.randrange(1, 5)} PRECEDING "
+                f"AND CURRENT ROW"])
+            over = (over[0][:-1] + f" {frame})", over[1][:-1] + f" {frame})")
+            e = self.d_int(ic, 1)
+            w = self.fmt("CAST(SUM({0}) OVER {1} AS BIGINT)",
+                         "CAST(SUM({0}) OVER {1} AS BIGINT)", e, over)
+        keys = ", ".join(f"{t}.{c} AS k{i}"
+                         for i, c in enumerate(TABLES[t]["uniq"]))
+        pred = self.d_pred(scope, 1)
+        return self.fmt(
+            f"SELECT {keys}, {{0}} AS w0 FROM {t} WHERE {{1}}",
+            f"SELECT {keys}, {{0}} AS w0 FROM {t} WHERE {{1}}",
+            w, pred)
+
     def query_pair(self):
         r = self.rng.random()
-        if r < 0.40:
+        if r < 0.32:
             return self.dq_select()
-        if r < 0.80:
+        if r < 0.64:
             return self.dq_agg()
-        return self.dq_subquery()
+        if r < 0.84:
+            return self.dq_subquery()
+        return self.dq_window()
 
 
 def gen_corpus(seed, n, sf_dir, dialect=False):
