@@ -295,4 +295,31 @@ class DialectSpec extends SparkSpec {
         "GROUP BY GROUPING SETS ((x), ())")
     assert(nonEmpty.count() === 3L)
   }
+
+  test("KNOWN DELTA pin: ASC sort places NULLs FIRST (reference/DuckDB default LAST)") {
+    // Impala (since 1.2.1) and DuckDB/Postgres place NULLs LAST in ASC
+    // order by default; Spark places them FIRST. For a window with a
+    // ROWS frame over a nullable sort key the default therefore changes
+    // FRAME CONTENTS, not just display order — found by the seed-47
+    // analytic-dialect fuzz run (f47_0396: nullifzero prefix key under
+    // ROWS BETWEEN 4 PRECEDING AND CURRENT ROW). The engine keeps
+    // Spark's default (rewriting every sort is not a dialect-layer
+    // rewrite); portable SQL spells NULLS FIRST/LAST explicitly — the
+    // same envelope rule the fuzzer applies to top-level ORDER BY, now
+    // applied to window ORDER BY too. If a Spark upgrade flips the
+    // default, this pin fails and the envelope can be revisited.
+    val rows = spark.sql(
+      "SELECT x, SUM(y) OVER (ORDER BY x ROWS BETWEEN 1 PRECEDING AND " +
+        "CURRENT ROW) AS s FROM VALUES (1, 10), (NULL, 100), (2, 1) " +
+        "AS t(x, y) ORDER BY s").collect()
+    // NULLS FIRST default: frame order is (NULL,100),(1,10),(2,1) →
+    // running pair-sums 100, 110, 11. NULLS LAST would give 10, 11, 101.
+    assert(rows.map(_.getLong(1)).toSeq === Seq(11L, 100L, 110L))
+    // explicit placement is honored (the portable spelling)
+    val last = spark.sql(
+      "SELECT SUM(y) OVER (ORDER BY x NULLS LAST ROWS BETWEEN 1 " +
+        "PRECEDING AND CURRENT ROW) AS s FROM VALUES (1, 10), " +
+        "(NULL, 100), (2, 1) AS t(x, y) ORDER BY s").collect()
+    assert(last.map(_.getLong(0)).toSeq === Seq(10L, 11L, 101L))
+  }
 }

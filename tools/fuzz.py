@@ -938,7 +938,15 @@ class DialectGen(Gen):
         prefix = ("", "")
         if ic and self.rng.random() < 0.5:
             e = self.d_int(ic, 1)
-            prefix = (f"{e[0]}, ", f"{e[1]}, ")
+            # Explicit NULLS FIRST: dialect int expressions are NULLABLE
+            # (nullifzero &c), and window ORDER BY null placement defaults
+            # DIFFER — Spark puts NULLs first in ASC, DuckDB (and Impala
+            # since 1.2.1) last, which changes ROWS-frame contents. Found
+            # by this grammar's first run (f47_0396); pinned executably in
+            # DialectSpec. The engine keeps Spark's default; portable SQL
+            # spells the placement, exactly like the top-level ORDER BY
+            # envelope rule.
+            prefix = (f"{e[0]} NULLS FIRST, ", f"{e[1]} NULLS FIRST, ")
         over = (f"({part[0]}ORDER BY {prefix[0]}{uniq})",
                 f"({part[1]}ORDER BY {prefix[1]}{uniq})")
         r = self.rng.random()
