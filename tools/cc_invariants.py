@@ -42,10 +42,15 @@ def validate(out_dir, sf_dir=None, stride=None, copies=None, log=print):
     }
     if sf_dir:
         # exact duplicates are jaccard-1.0 pairs: same-cluster is a hard
-        # requirement whatever the near-dup threshold
+        # requirement whatever the near-dup threshold. Directory-layout
+        # tables (the 13-file sweeps) need the glob form, same as check.py.
+        import os
+        p = f"{sf_dir}/documents.parquet"
+        if os.path.isdir(p):
+            p = f"{p}/*.parquet"
         con.execute(f"""CREATE VIEW src AS
             SELECT doc_id, md5(lower(text)) AS tkey
-            FROM read_parquet('{sf_dir}/documents.parquet')""")
+            FROM read_parquet('{p}')""")
         checks["exact_dups_share_cluster"] = """
             SELECT count(*) FROM (
               SELECT s.tkey FROM cc JOIN src s USING (doc_id)
