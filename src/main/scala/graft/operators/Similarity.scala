@@ -161,10 +161,12 @@ object Similarity {
   /** Approximate cosine from two quantized index rows (structs produced by
     * [[quantizeQ8]]): integer code dot + the affine correction terms, over
     * the exact stored norms. Pure scalar arithmetic around one codegen'd
-    * integer fold — whole-stage-codegen friendly. */
-  def cosineQ8(a: Column, b: Column, dims: Int): Column = {
+    * integer fold — whole-stage-codegen friendly. Dimensionality comes
+    * from the codes themselves (size of the `qv` array), so the kernel is
+    * correct for any vector width without a caller-supplied constant. */
+  def cosineQ8(a: Column, b: Column): Column = {
     val codeDot = call_function("dot_product_q8", a("qv"), b("qv")).cast("double")
-    val approxDot = lit(dims.toDouble) * a("o") * b("o") +
+    val approxDot = size(a("qv")).cast("double") * a("o") * b("o") +
       a("o") * b("s") * b("sumq").cast("double") +
       b("o") * a("s") * a("sumq").cast("double") +
       a("s") * b("s") * codeDot
@@ -190,12 +192,11 @@ object Similarity {
       queries: DataFrame, corpus: DataFrame,
       idCol: String, vecCol: String, k: Int,
       oversample: Int = 8): DataFrame = {
-    val dims = 64
     // quantized corpus index (in production: a materialized index table)
     val cIdx = corpus.select(col(idCol).as("cand_id"), quantizeQ8(col(vecCol)).as("cq"))
     val qIdx = queries.select(col(idCol).as("query_id"), quantizeQ8(col(vecCol)).as("qq"))
     val approx = cIdx.crossJoin(broadcast(qIdx))
-      .withColumn("asim", cosineQ8(col("qq"), col("cq"), dims))
+      .withColumn("asim", cosineQ8(col("qq"), col("cq")))
       .withColumn("arnk", row_number().over(
         Window.partitionBy(col("query_id")).orderBy(col("asim").desc, col("cand_id").asc)))
       .filter(col("arnk") <= k * oversample)

@@ -28,16 +28,18 @@ object DocumentStream {
   case class Doc(doc_id: Long, ts: java.sql.Timestamp, lang: String, text: String)
 
   /** Per-language quality cutoffs from a calibration corpus: the median
-    * stopword ratio per language (matching the batch pipeline's
-    * `keepAboveQuantile(..., 0.5)` gate, computed offline). Tiny output —
-    * one row per language — intended for `broadcast` into [[ingest]]. */
+    * stopword ratio per language, computed offline with the SAME exact
+    * percentile the batch gate uses (`TextAnalysis.keepAboveQuantile` —
+    * Spark `percentile`, linear interpolation), so a document scores past
+    * the streamed gate iff it would pass the batch gate calibrated on the
+    * same corpus. Tiny output — one row per language — intended for
+    * `broadcast` into [[ingest]]. */
   def calibrateCutoffs(corpus: DataFrame): DataFrame =
     corpus
       .withColumn("clean", TextAnalysis.scrub(col("text")))
+      .withColumn("stop_ratio", TextAnalysis.stopwordRatio(col("clean")))
       .groupBy(col("lang"))
-      .agg(percentile_approx(
-        TextAnalysis.stopwordRatio(col("clean")), lit(0.5), lit(10000))
-        .as("min_stop_ratio"))
+      .agg(expr("percentile(stop_ratio, 0.5)").as("min_stop_ratio"))
 
   /** Incremental ingest over a document stream (schema: [[Doc]]): returns
     * the surviving documents (doc_id, ts, lang, clean, fp). Works
@@ -51,7 +53,9 @@ object DocumentStream {
       .dropDuplicatesWithinWatermark("fp")
 
   /** The stateless front of [[ingest]]: scrub, score, gate on the
-    * broadcast calibration cutoffs, fingerprint. Unknown languages have
+    * broadcast calibration cutoffs, fingerprint. Strict `>` matches
+    * `keepAboveQuantile`'s boundary exactly (a doc AT the median is
+    * dropped by both). Unknown languages have
     * no cutoff and are rejected (inner join) — same posture as the batch
     * per-language quantile gate, which also emits nothing for a language
     * absent from the corpus. */
@@ -61,7 +65,7 @@ object DocumentStream {
       .withColumn("clean", TextAnalysis.scrub(col("text")))
       .withColumn("stop_ratio", TextAnalysis.stopwordRatio(col("clean")))
       .join(broadcast(cutoffs), Seq("lang"))
-      .filter(col("stop_ratio") >= col("min_stop_ratio"))
+      .filter(col("stop_ratio") > col("min_stop_ratio"))
       .withColumn("fp", md5(col("clean")))
       .select(col("doc_id"), col("ts"), col("lang"), col("clean"), col("fp"))
 }

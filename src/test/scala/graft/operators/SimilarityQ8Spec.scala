@@ -25,12 +25,12 @@ class SimilarityQ8Spec extends SparkSpec {
       Similarity.quantizeQ8(col("embedding")).as("qb"))
     val err = a.crossJoin(b).filter(col("ida") < col("idb"))
       .select(abs(
-        Similarity.cosineQ8(col("qa"), col("qb"), 64) -
+        Similarity.cosineQ8(col("qa"), col("qb")) -
           Similarity.cosine(col("va"), col("vb"))).as("e"))
       .agg(max(col("e"))).collect()(0).getDouble(0)
     assert(err < 1e-2, s"max |approx - exact| cosine error $err")
     // self-similarity sanity: quantized cosine of a vector with itself ~ 1
-    val selfErr = a.select(abs(Similarity.cosineQ8(col("qa"), col("qa"), 64) - 1.0).as("e"))
+    val selfErr = a.select(abs(Similarity.cosineQ8(col("qa"), col("qa")) - 1.0).as("e"))
       .agg(max(col("e"))).collect()(0).getDouble(0)
     assert(selfErr < 1e-2)
   }
@@ -65,7 +65,7 @@ class SimilarityQ8Spec extends SparkSpec {
     val a = df.filter(col("id") === 1).select(Similarity.quantizeQ8(col("v")).as("q"))
     val b = df.filter(col("id") === 2).select(Similarity.quantizeQ8(col("v")).as("q2"))
     val sim = a.crossJoin(b)
-      .select(Similarity.cosineQ8(col("q"), col("q2"), 64).as("s"))
+      .select(Similarity.cosineQ8(col("q"), col("q2")).as("s"))
       .collect()(0).getDouble(0)
     assert(math.abs(sim - 1.0) < 1e-9)
   }

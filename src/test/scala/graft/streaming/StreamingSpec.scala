@@ -117,6 +117,22 @@ class StreamingSpec extends SparkSpec {
     }
     val cutoffs = DocumentStream.calibrateCutoffs(
       graft.Tables.load(spark, "/root/testdata/sf0.001", "documents"))
+    // gate == the batch pipeline's quality stage exactly: calibrated on
+    // the SAME corpus, the streamed gate keeps precisely the doc_ids
+    // keepAboveQuantile keeps (incl. the at-the-median boundary, which
+    // both DROP — strict >)
+    val replay = docs.toSeq.toDF()
+    val replayGateIds = DocumentStream
+      .gate(replay, DocumentStream.calibrateCutoffs(replay))
+      .select("doc_id").collect().map(_.getLong(0)).sorted.toSeq
+    val batchGateIds = graft.operators.TextAnalysis.keepAboveQuantile(
+        replay.withColumn("clean", graft.operators.TextAnalysis.scrub(col("text")))
+          .withColumn("stop_ratio",
+            graft.operators.TextAnalysis.stopwordRatio(col("clean"))),
+        "stop_ratio", "lang", 0.5)
+      .select("doc_id").collect().map(_.getLong(0)).sorted.toSeq
+    assert(replayGateIds === batchGateIds)
+    assert(replayGateIds.nonEmpty && replayGateIds.size < docs.length)
     val mem = MemoryStream[DocumentStream.Doc]
     val q = DocumentStream.ingest(mem.toDF(), cutoffs).writeStream
       .format("memory").queryName("ingested_docs").outputMode("append").start()

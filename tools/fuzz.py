@@ -150,6 +150,10 @@ def sample_literals(con, sf_dir):
 
 
 class Gen:
+    # generator revision for the common-dialect grammar: bump when the
+    # grammar's RNG-consumption pattern changes (see gen_corpus note)
+    GRAMMAR_REV = 2
+
     def __init__(self, rng, pools, probe=None):
         # probe(sql) -> rows: generation-time DuckDB escape hatch for
         # rules that depend on the data, not the grammar. Deterministic
@@ -569,6 +573,10 @@ class Gen:
 
 
 class DialectGen(Gen):
+    # rev 2 = dq_window added + query_pair rebalanced (seeds 47+);
+    # committed seeds 45/46 were drawn at rev 1
+    GRAMMAR_REV = 2
+
     """Dialect-axis grammar: every query is emitted as a PAIR — the
     engine side composes Impala-dialect functions (the ImpalaFunctions
     registry: nvl-family, strleft/strright, quotient/fmod, adddate/
@@ -1025,8 +1033,17 @@ def gen_corpus(seed, n, sf_dir, dialect=False):
         # sf rides along so the offline replay (FuzzCorpusSpec) runs each
         # corpus against the data it was DuckDB-verified on; corpora
         # without the field (seeds 42/43) default to sf0.001 there.
+        # grammar records the generator revision the corpus was drawn
+        # from: grammar growth changes RNG consumption, so SAME-seed
+        # regeneration under a LATER grammar produces a different stream
+        # — committed corpora are frozen files (never re-derived), and
+        # the tag makes any accidental cross-version regeneration
+        # detectable instead of silently divergent. History: dialect
+        # corpora seeds 45/46 were drawn at dialect-grammar rev 1
+        # (pre-dq_window); seeds 47+ at rev 2.
         rec = {"name": f"f{seed}_{len(out):04d}", "sql": sql,
-               "sf": os.path.basename(os.path.normpath(sf_dir))}
+               "sf": os.path.basename(os.path.normpath(sf_dir)),
+               "grammar": cls.GRAMMAR_REV}
         if oracle is not None and oracle != sql:
             rec["oracle_sql"] = oracle
         out.append(rec)
