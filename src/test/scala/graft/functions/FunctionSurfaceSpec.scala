@@ -54,4 +54,17 @@ class FunctionSurfaceSpec extends SparkSpec {
     assert(missing.isEmpty,
       s"reference functions with no engine resolution: ${missing.mkString(", ")}")
   }
+
+  /** Extension-surface kernels (beyond the reference registry): the
+    * similarity-search hot path depends on these registrations, and a
+    * dropped registration would only surface as an analysis error deep
+    * inside an operator — pin the names here like the reference ones. */
+  private val extensionRegistry: Seq[String] =
+    Seq("dot_product", "cosine_similarity", "dot_product_q8", "quantize_q8")
+
+  test("every extension vector kernel resolves") {
+    val missing = extensionRegistry.filterNot(spark.catalog.functionExists)
+    assert(missing.isEmpty,
+      s"extension kernels with no engine resolution: ${missing.mkString(", ")}")
+  }
 }
