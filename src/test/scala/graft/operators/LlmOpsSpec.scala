@@ -648,6 +648,11 @@ class LlmOpsSpec extends SparkSpec {
     assert(math.abs(meanRecall("/root/testdata/sf0.01", "lsh") - 14.0 / 30) < eps)
     assert(math.abs(meanRecall("/root/testdata/sf0.001", "ivf") - 22.0 / 30) < eps)
     assert(math.abs(meanRecall("/root/testdata/sf0.01", "ivf") - 27.0 / 30) < eps)
+    // quantized-scan + exact-re-rank: recall 1.0 at both gate scales
+    // (the 8x-oversampled approximate front never loses a true top-3
+    // under ~1e-3 quantization error — SimilarityQ8Spec pins id equality)
+    assert(math.abs(meanRecall("/root/testdata/sf0.001", "q8") - 1.0) < eps)
+    assert(math.abs(meanRecall("/root/testdata/sf0.01", "q8") - 1.0) < eps)
     // The driver entries band these measurements: recall_ok must be TRUE
     // on every row at both gate scales (the oracle pins literal TRUE).
     for (dir <- Seq("/root/testdata/sf0.001", "/root/testdata/sf0.01");
