@@ -59,14 +59,48 @@ object EngineSession {
       kv.take(i).trim -> kv.drop(i + 1).trim
     }.toMap
 
-  /** Build a local session sized for this container (local[N] threads). */
+  /** The master this process should use: `SPARK_GRAFT_MASTER` wins over
+    * the caller's default — every entry point (build, Verify's adopted
+    * session, Bench, FuzzRunner) routes through this so one env var
+    * flips the whole catalog onto the multi-JVM axis. */
+  def masterOf(default: String): String =
+    sys.env.getOrElse("SPARK_GRAFT_MASTER", default)
+
+  /** Extra confs a local-cluster master needs: executors are separate
+    * JVMs forked by the standalone Worker, so they must be handed this
+    * JVM's classpath (run/test are sbt-forked — java.class.path is the
+    * real application classpath) and an executor heap sized into the
+    * worker's memory grant (local-cluster[n,c,MEM]). */
+  def clusterConfs(master: String): Map[String, String] =
+    if (master.startsWith("local-cluster")) Map(
+      "spark.executor.extraClassPath" -> sys.props("java.class.path"),
+      "spark.executor.memory" ->
+        sys.env.getOrElse("SPARK_GRAFT_EXECUTOR_MEM", "3g"))
+    else Map.empty
+
+  /** Build a local session sized for this container (local[N] threads).
+    *
+    * `SPARK_GRAFT_MASTER` overrides the master everywhere (Verify, Bench,
+    * FuzzRunner, the test session) — the lever for the multi-JVM
+    * executor-separation axis: `local-cluster[2,16,4096]` runs a real
+    * standalone master + 2 workers forking executor JVMs, so serialized
+    * closures, UDA partial buffers crossing real process boundaries, the
+    * BlockManager transfer path and the file sinks' task-side commit
+    * protocol are all exercised the way a 1000-executor cluster would —
+    * none of which local[N] (one JVM, one classloader, shared memory)
+    * can test. For local-cluster masters the executors are forked with
+    * this JVM's classpath (run/test are forked by sbt, so
+    * java.class.path is the real application classpath, including
+    * target/scala-2.13/classes).
+    */
   def build(
       master: String = s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")}]",
       shufflePartitions: Int = 32,
       appName: String = "graft"): SparkSession = {
+    val effectiveMaster = masterOf(master)
     val b = SparkSession
       .builder()
-      .master(master)
+      .master(effectiveMaster)
       .appName(appName)
       // Extension-injected optimizer rules join the operator-optimization
       // batch, which runs BEFORE RewriteDistinctAggregates — so the
@@ -76,6 +110,7 @@ object EngineSession {
       .withExtensions(_.injectOptimizerRule(_ => graft.plans.AppxCountDistinctRewrite))
       .config("spark.sql.shuffle.partitions", shufflePartitions.toString)
       .config("spark.ui.enabled", "false")
+    clusterConfs(effectiveMaster).foreach { case (k, v) => b.config(k, v) }
     staticConfs.foreach { case (k, v) => b.config(k, v) }
     extraConfs.foreach { case (k, v) => b.config(k, v) }
     // getOrCreate() can hand back a PRE-EXISTING session, for which

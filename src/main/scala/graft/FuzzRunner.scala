@@ -29,15 +29,24 @@ object FuzzRunner {
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "8")
     val spark = EngineSession.build(master = s"local[$cpus]", appName = "graft-fuzz")
 
-    val specs = spark.read.json(queriesPath)
-      .select("name", "sql").collect()
-      .map(r => (r.getString(0), r.getString(1)))
+    // write-path corpora (fuzz.py --write) carry optional DML scripts:
+    // `setup` statements run before the probe, `teardown` after (always,
+    // so a failed record can't leak catalog tables into the next one)
+    val raw = spark.read.json(queriesPath)
+    def strList(r: org.apache.spark.sql.Row, col: String): Seq[String] =
+      if (!raw.columns.contains(col) || r.isNullAt(r.fieldIndex(col))) Nil
+      else r.getSeq[String](r.fieldIndex(col))
+    val specs = raw.collect().map { r =>
+      (r.getString(r.fieldIndex("name")), r.getString(r.fieldIndex("sql")),
+        strList(r, "setup"), strList(r, "teardown"))
+    }
     Tables.ensureViews(spark, sfDir)
 
     Files.createDirectories(Paths.get(outDir))
     val errors = scala.collection.mutable.ArrayBuffer[String]()
-    specs.foreach { case (name, sql) =>
+    specs.foreach { case (name, sql, setup, teardown) =>
       try {
+        setup.foreach(EngineSession.sql(spark, _).collect())
         EngineSession.sql(spark, sql)
           .write.mode("overwrite").parquet(s"$outDir/$name.parquet")
       } catch {
@@ -45,6 +54,11 @@ object FuzzRunner {
           val msg = Option(e.getMessage).getOrElse(e.getClass.getName)
             .replaceAll("[\"\\\\\\n\\r\\t]", " ").take(300)
           errors += s"""{"name":"$name","error":"$msg"}"""
+      } finally {
+        teardown.foreach { s =>
+          try EngineSession.sql(spark, s).collect()
+          catch { case _: Throwable => () }
+        }
       }
     }
     Files.write(Paths.get(s"$outDir/errors.json"),

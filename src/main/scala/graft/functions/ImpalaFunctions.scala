@@ -117,6 +117,10 @@ object ImpalaFunctions {
     },
     // sample(x): deterministic bottom-k-by-hash reservoir (see SampleAgg).
     "sample" -> { case Seq(e) => new SampleAgg(Cast(e, StringType)) },
+    // top_k_front(struct(score,id), k): bounded per-group top-k with
+    // map-side partial merge — the shuffle-light replacement for
+    // row_number-over-window candidate ranking (see TopKFront).
+    "top_k_front" -> { case Seq(e, kk) => new TopKFront(e, kk) },
 
     // ---- madlib vector interop (udf-builtins.h:558) → ArrayType ops ----
     "madlib_vector" -> { es => CreateArray(es.map(Cast(_, DoubleType))) },

@@ -73,6 +73,11 @@ object VectorMath {
     while (i < n) {
       if (v.isNullAt(i)) return null
       val x = elem(v, i, isFloat)
+      // NaN never updates vmin/vmax (all comparisons false), so a NaN
+      // element would quantize to a finite bogus code (-128) and the
+      // approximate score could rank the row where the exact cosine path
+      // yields NaN — return null instead, same posture as null elements.
+      if (x != x) return null
       if (x < vmin) vmin = x
       if (x > vmax) vmax = x
       nrm2 += x * x

@@ -35,6 +35,25 @@ object Similarity {
   def cosine(a: Column, b: Column): Column =
     call_function("cosine_similarity", a, b)
 
+  /** Per-query top-k over a scored candidate relation
+    * (query_id, cand_id, sim) → (query_id, cand_id, sim, rnk), exactly
+    * `row_number() OVER (PARTITION BY query_id ORDER BY sim DESC,
+    * cand_id ASC) <= k` — but via the bounded partial-merging
+    * `top_k_front` aggregate instead of a window. The window form must
+    * hash-exchange EVERY scored row into ≤ nQueries partitions before it
+    * can rank (a key-cardinality parallelism ceiling AND a corpus-sized
+    * shuffle); the aggregate keeps one ≤ k heap per query per map task,
+    * so the exchange carries only (mapTasks × nQueries) serialized
+    * fronts. The front array comes back best-first sorted, so rank is
+    * its position. */
+  private def frontTopK(scored: DataFrame, k: Int): DataFrame =
+    scored.groupBy(col("query_id"))
+      .agg(call_function("top_k_front",
+        struct(col("sim"), col("cand_id")), lit(k)).as("front"))
+      .select(col("query_id"), posexplode(col("front")).as(Seq("i", "e")))
+      .select(col("query_id"), col("e.cand_id").as("cand_id"),
+        col("e.sim").as("sim"), (col("i") + 1).as("rnk"))
+
   /** Brute-force cosine top-k: every query row against every corpus row,
     * queries broadcast. Returns (query id, corpus id, cosine, rank). */
   def bruteForceTopK(
@@ -44,11 +63,7 @@ object Similarity {
     val c = corpus.select(col(idCol).as("cand_id"), col(vecCol).as("cv"))
     val scored = c.crossJoin(broadcast(q))
       .withColumn("sim", cosine(col("qv"), col("cv")))
-    scored
-      .withColumn("rnk", row_number().over(
-        Window.partitionBy(col("query_id")).orderBy(col("sim").desc, col("cand_id").asc)))
-      .filter(col("rnk") <= k)
-      .select(col("query_id"), col("cand_id"), col("sim"), col("rnk"))
+    frontTopK(scored.select(col("query_id"), col("cand_id"), col("sim")), k)
   }
 
   /** Deterministic ±1 hyperplane weights: nothing random at runtime, the
@@ -130,15 +145,12 @@ object Similarity {
     val c = corpus.select(col(idCol).as("cand_id"), col(vecCol).as("cv"),
       explode(array((0 until tables).map(t =>
         lshBucket(col(vecCol), planes, dims, t, thrs(t))): _*)).as("bucket"))
-    c.join(broadcast(q), Seq("bucket"))
+    val deduped = c.join(broadcast(q), Seq("bucket"))
       .withColumn("sim", cosine(col("qv"), col("cv")))
       // a pair can collide in several tables/probes — dedup before ranking
       .groupBy(col("query_id"), col("cand_id"))
       .agg(max(col("sim")).as("sim"))
-      .withColumn("rnk", row_number().over(
-        Window.partitionBy(col("query_id")).orderBy(col("sim").desc, col("cand_id").asc)))
-      .filter(col("rnk") <= k)
-      .select(col("query_id"), col("cand_id"), col("sim"), col("rnk"))
+    frontTopK(deduped, k)
   }
 
   /** Per-vector int8 scalar quantization (asymmetric affine, the
@@ -186,8 +198,12 @@ object Similarity {
     *
     * Scale shape: queries (tiny) broadcast twice — once as quantized rows
     * against the index scan, once as float vectors for the re-rank; the
-    * candidate set (queries × oversample·k ids) broadcasts back against
-    * the corpus for the exact verify, so the corpus is never shuffled. */
+    * approximate front is a bounded partial aggregate ([[frontTopK]]'s
+    * `top_k_front`), so each map task ships only its local ≤ k·oversample
+    * front per query and the scored corpus rows never cross the wire;
+    * the candidate set (queries × oversample·k ids) then broadcasts back
+    * against the corpus for the exact verify — the corpus itself is
+    * never shuffled. */
   def q8TopK(
       queries: DataFrame, corpus: DataFrame,
       idCol: String, vecCol: String, k: Int,
@@ -196,21 +212,17 @@ object Similarity {
     val cIdx = corpus.select(col(idCol).as("cand_id"), quantizeQ8(col(vecCol)).as("cq"))
     val qIdx = queries.select(col(idCol).as("query_id"), quantizeQ8(col(vecCol)).as("qq"))
     val approx = cIdx.crossJoin(broadcast(qIdx))
-      .withColumn("asim", cosineQ8(col("qq"), col("cq")))
-      .withColumn("arnk", row_number().over(
-        Window.partitionBy(col("query_id")).orderBy(col("asim").desc, col("cand_id").asc)))
-      .filter(col("arnk") <= k * oversample)
+      .withColumn("sim", cosineQ8(col("qq"), col("cq")))
+      .transform(frontTopK(_, k * oversample))
       .select(col("query_id"), col("cand_id"))
     // exact re-rank on the surviving candidates only
     val qv = queries.select(col(idCol).as("query_id"), col(vecCol).as("qvec"))
     val cv = corpus.select(col(idCol).as("cand_id"), col(vecCol).as("cvec"))
-    cv.join(broadcast(approx), Seq("cand_id"))
+    val rescored = cv.join(broadcast(approx), Seq("cand_id"))
       .join(broadcast(qv), Seq("query_id"))
       .withColumn("sim", cosine(col("qvec"), col("cvec")))
-      .withColumn("rnk", row_number().over(
-        Window.partitionBy(col("query_id")).orderBy(col("sim").desc, col("cand_id").asc)))
-      .filter(col("rnk") <= k)
-      .select(col("query_id"), col("cand_id"), col("sim"), col("rnk"))
+      .select(col("query_id"), col("cand_id"), col("sim"))
+    frontTopK(rescored, k)
   }
 
   /** IVF-style cosine top-k: corpus bucketed by nearest k-means centroid,
@@ -264,12 +276,10 @@ object Similarity {
       .filter(col("rnk") <= nProbe)
       .select(col("query_id"), col("qv"), col("bucket"))
 
-    assigned.join(broadcast(probes), Seq("bucket"))
+    val scored = assigned.join(broadcast(probes), Seq("bucket"))
       .withColumn("sim", cosine(col("qv"), col("cv")))
-      .withColumn("rnk", row_number().over(
-        Window.partitionBy(col("query_id")).orderBy(col("sim").desc, col("cand_id").asc)))
-      .filter(col("rnk") <= k)
-      .select(col("query_id"), col("cand_id"), col("sim"), col("rnk"))
+      .select(col("query_id"), col("cand_id"), col("sim"))
+    frontTopK(scored, k)
   }
 
   /** Exact embedding-cosine near-duplicate pairs over ALL pairs of the

@@ -106,15 +106,18 @@ class StreamingSpec extends SparkSpec {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
     // real corpus text, synthetic ingest times; duplicates planted BOTH
-    // within a batch and across batches so the dedup state must span
-    // micro-batches
+    // within a batch (copies of docs 0-4 appended after the first 40
+    // originals, delivered in the SAME addData call) and across batches
+    // (batch 2 re-sends docs 0-14 whose originals arrived in batch 1), so
+    // the dedup must hold within a micro-batch AND span micro-batches
     val corpus = graft.Tables.load(spark, "/root/testdata/sf0.001", "documents")
       .select("doc_id", "lang", "text").limit(60).collect()
       .map(r => (r.getLong(0), r.getString(1), r.getString(2)))
-    val docs = (corpus ++ corpus.take(15)).zipWithIndex.map { case ((id, lang, text), i) =>
-      DocumentStream.Doc(1000L + i,
-        java.sql.Timestamp.valueOf(f"2024-01-01 10:${i % 60}%02d:00"), lang, text)
-    }
+    val docs = (corpus.take(40) ++ corpus.take(5) ++ corpus.drop(40) ++ corpus.take(15))
+      .zipWithIndex.map { case ((id, lang, text), i) =>
+        DocumentStream.Doc(1000L + i,
+          java.sql.Timestamp.valueOf(f"2024-01-01 10:${i % 60}%02d:00"), lang, text)
+      }
     val cutoffs = DocumentStream.calibrateCutoffs(
       graft.Tables.load(spark, "/root/testdata/sf0.001", "documents"))
     // gate == the batch pipeline's quality stage exactly: calibrated on
@@ -137,7 +140,9 @@ class StreamingSpec extends SparkSpec {
     val q = DocumentStream.ingest(mem.toDF(), cutoffs).writeStream
       .format("memory").queryName("ingested_docs").outputMode("append").start()
     try {
-      val (b1, b2) = docs.splitAt(40)
+      // batch 1 = 40 originals + the 5 within-batch duplicates;
+      // batch 2 = 20 remaining originals + the 15 cross-batch duplicates
+      val (b1, b2) = docs.splitAt(45)
       mem.addData(b1); q.processAllAvailable()
       mem.addData(b2); q.processAllAvailable()
       val got = spark.table("ingested_docs")

@@ -1010,19 +1010,177 @@ class DialectGen(Gen):
         return self.dq_window()
 
 
-def gen_corpus(seed, n, sf_dir, dialect=False):
+class WriteGen(Gen):
+    # rev 1 = first write-path grammar (round 10)
+    GRAMMAR_REV = 1
+
+    """Write-path grammar (v3): INSERT INTO / INSERT OVERWRITE
+    [PARTITION] / CTAS round-trips — the reference's insert.test family
+    (dynamic partitions, static-partition overwrite, self-insert, NULL
+    partition keys) as differential fuzz. Each record is a DML SCRIPT:
+
+      setup        engine statements (CREATE/CTAS/INSERTs), run in order
+      sql          probe SELECT over the written table (rows sorted by
+                   the comparator, so no ORDER BY needed)
+      teardown     DROP statements (engine catalog stays clean)
+      oracle_setup / oracle_sql   the DuckDB translation
+
+    DuckDB has no partitioned storage, so the oracle models CONTENT
+    semantics: a dynamic-partition INSERT is content-equivalent to a
+    plain INSERT SELECT (partitioning moves bytes, not rows); a STATIC
+    partition OVERWRITE is DELETE-where-partition-value then INSERT —
+    exactly the reference's semantics. NULL partition keys ride NULLIF
+    on the partition column (the __HIVE_DEFAULT_PARTITION__ path: the
+    null lands in the default partition on disk but must read back as
+    SQL NULL)."""
+
+    TYPE_MAP = {"int": ("BIGINT", "BIGINT"), "dbl": ("DOUBLE", "DOUBLE"),
+                "str": ("STRING", "VARCHAR")}
+
+    def __init__(self, rng, pools, probe=None, seed=0):
+        super().__init__(rng, pools, probe)
+        self.seed = seed
+        self.counter = 0
+
+    def target_cols(self, t):
+        """2-4 source columns (>=1 int, >=1 str when available), aliased
+        a0.. with engine/duck DDL types."""
+        cols = []
+        spec = TABLES[t]
+        ints = [c for c in spec["ints"]]
+        strs = [c for c in spec["strs"]]
+        dbls = [c for c in spec["dbls"]]
+        self.rng.shuffle(ints); self.rng.shuffle(strs); self.rng.shuffle(dbls)
+        picked = [("int", ints[0])] + ([("str", strs[0])] if strs else [])
+        for kind, pool in (("int", ints[1:]), ("dbl", dbls), ("str", strs[1:])):
+            for c in pool:
+                if len(picked) >= 4:
+                    break
+                if self.rng.random() < 0.4:
+                    picked.append((kind, c))
+        for i, (kind, c) in enumerate(picked):
+            cols.append(dict(kind=kind, src=c, alias=f"a{i}",
+                             etype=self.TYPE_MAP[kind][0],
+                             dtype=self.TYPE_MAP[kind][1]))
+        return cols
+
+    def src_select(self, t, cols, null_part_col=None):
+        """SELECT feeding an INSERT: single-table filtered projection in
+        target-column order; optionally NULLIF-wraps one column so NULL
+        partition/general NULL handling is exercised."""
+        scope = {t: TABLES[t]}
+        pred = self.predicate(scope, depth=1)
+        parts = []
+        for c in cols:
+            e = f"{t}.{c['src']}"
+            if c["kind"] == "int":
+                e = f"CAST({e} AS BIGINT)"
+            if null_part_col == c["alias"]:
+                lit = self.lit_of(t, c["src"], c["kind"])
+                e = f"NULLIF({e}, {lit})"
+            parts.append(e)
+        return f"SELECT {', '.join(parts)} FROM {t} WHERE {pred}"
+
+    def values_rows(self, t, cols, n_rows):
+        rows = []
+        for _ in range(n_rows):
+            vals = []
+            for c in cols:
+                if self.rng.random() < 0.15:
+                    vals.append("NULL")
+                else:
+                    vals.append(self.lit_of(t, c["src"], c["kind"]))
+            rows.append("(" + ", ".join(vals) + ")")
+        return ", ".join(rows)
+
+    def script(self):
+        """One round-trip record; returns a dict (no name/sf/grammar —
+        gen_corpus stamps those)."""
+        t = self.pick([x for x in TABLES if TABLES[x]["strs"]])
+        cols = self.target_cols(t)
+        tbl = f"fz_w{self.seed}_{self.counter}"
+        self.counter += 1
+        ddl_e = ", ".join(f"{c['alias']} {c['etype']}" for c in cols)
+        ddl_d = ", ".join(f"{c['alias']} {c['dtype']}" for c in cols)
+        setup = [f"DROP TABLE IF EXISTS {tbl}"]
+        oset = [f"DROP TABLE IF EXISTS {tbl}"]
+        kind = self.pick(["ctas", "append", "values", "overwrite",
+                          "dynpart", "statpart", "self_insert"])
+        if kind == "ctas":
+            body = self.src_select(t, cols)
+            setup.append(f"CREATE TABLE {tbl} USING parquet AS {body}")
+            oset.append(f"CREATE TABLE {tbl} AS {body}")
+        elif kind == "values":
+            setup.append(f"CREATE TABLE {tbl} ({ddl_e}) USING parquet")
+            oset.append(f"CREATE TABLE {tbl} ({ddl_d})")
+            for _ in range(self.rng.randrange(1, 3)):
+                vals = self.values_rows(t, cols, self.rng.randrange(1, 4))
+                stmt = f"INSERT INTO {tbl} VALUES {vals}"
+                setup.append(stmt); oset.append(stmt)
+        elif kind in ("append", "overwrite", "self_insert"):
+            setup.append(f"CREATE TABLE {tbl} ({ddl_e}) USING parquet")
+            oset.append(f"CREATE TABLE {tbl} ({ddl_d})")
+            for _ in range(self.rng.randrange(1, 3)):
+                body = self.src_select(t, cols)
+                setup.append(f"INSERT INTO {tbl} {body}")
+                oset.append(f"INSERT INTO {tbl} {body}")
+            if kind == "overwrite":
+                body = self.src_select(t, cols)
+                setup.append(f"INSERT OVERWRITE TABLE {tbl} {body}")
+                oset.append(f"DELETE FROM {tbl}")
+                oset.append(f"INSERT INTO {tbl} {body}")
+            elif kind == "self_insert":
+                c0 = cols[0]["alias"]
+                lit = self.lit_of(t, cols[0]["src"], cols[0]["kind"])
+                stmt = f"INSERT INTO {tbl} SELECT * FROM {tbl} WHERE {c0} >= {lit}"
+                setup.append(stmt); oset.append(stmt)
+        else:  # dynpart / statpart: partition column = last (a string col)
+            pcol = dict(kind="str", src=self.pick(TABLES[t]["strs"]),
+                        alias="p", etype="STRING", dtype="VARCHAR")
+            cols = cols + [pcol]
+            ddl_e = ", ".join(f"{c['alias']} {c['etype']}" for c in cols)
+            ddl_d = ", ".join(f"{c['alias']} {c['dtype']}" for c in cols)
+            setup.append(
+                f"CREATE TABLE {tbl} ({ddl_e}) USING parquet PARTITIONED BY (p)")
+            oset.append(f"CREATE TABLE {tbl} ({ddl_d})")
+            null_part = "p" if self.rng.random() < 0.4 else None
+            body = self.src_select(t, cols, null_part_col=null_part)
+            setup.append(f"INSERT INTO {tbl} {body}")
+            oset.append(f"INSERT INTO {tbl} {body}")
+            if kind == "statpart":
+                pv = self.lit_of(t, pcol["src"], "str")
+                body2 = self.src_select(t, cols[:-1])
+                setup.append(
+                    f"INSERT OVERWRITE TABLE {tbl} PARTITION (p={pv}) {body2}")
+                oset.append(f"DELETE FROM {tbl} WHERE p = {pv}")
+                sel = body2.split(" FROM ", 1)
+                oset.append(f"INSERT INTO {tbl} {sel[0]}, {pv} FROM {sel[1]}")
+        probe = f"SELECT * FROM {tbl}"
+        return dict(kind=kind, setup=setup, sql=probe,
+                    teardown=[f"DROP TABLE IF EXISTS {tbl}"],
+                    oracle_setup=oset, oracle_sql=probe)
+
+
+def gen_corpus(seed, n, sf_dir, dialect=False, write=False):
     con = duckdb.connect()
     for t in TABLES:
         con.execute(f"CREATE VIEW {t} AS SELECT * FROM "
                     f"read_parquet('{sf_dir}/{t}.parquet')")
     verify_unique(con)
-    cls = DialectGen if dialect else Gen
-    g = cls(random.Random(seed), sample_literals(con, sf_dir),
-            probe=lambda q: con.execute(q).fetchall())
+    cls = WriteGen if write else DialectGen if dialect else Gen
+    g = (cls(random.Random(seed), sample_literals(con, sf_dir),
+             probe=lambda q: con.execute(q).fetchall(), seed=seed)
+         if write else
+         cls(random.Random(seed), sample_literals(con, sf_dir),
+             probe=lambda q: con.execute(q).fetchall()))
     out, seen = [], set()
     i = 0
     while len(out) < n:
-        if dialect:
+        script = None
+        if write:
+            script = g.script()
+            sql, oracle = tuple(script["setup"]), None
+        elif dialect:
             sql, oracle = g.query_pair()
         else:
             sql, oracle = g.query(), None
@@ -1030,6 +1188,13 @@ def gen_corpus(seed, n, sf_dir, dialect=False):
         if sql in seen:
             continue
         seen.add(sql)
+        if write:
+            rec = {"name": f"f{seed}_{len(out):04d}", **{
+                k: v for k, v in script.items()},
+                "sf": os.path.basename(os.path.normpath(sf_dir)),
+                "grammar": cls.GRAMMAR_REV}
+            out.append(rec)
+            continue
         # sf rides along so the offline replay (FuzzCorpusSpec) runs each
         # corpus against the data it was DuckDB-verified on; corpora
         # without the field (seeds 42/43) default to sf0.001 there.
@@ -1064,11 +1229,32 @@ def main():
     ap.add_argument("--dialect", action="store_true",
                     help="dialect-axis grammar: engine runs Impala-dialect "
                          "SQL, DuckDB runs the paired ANSI translation")
+    ap.add_argument("--write", action="store_true",
+                    help="write-path grammar (v3): INSERT/CTAS/partition "
+                         "round-trip scripts instead of SELECT queries")
+    ap.add_argument("--replay", metavar="CORPUS_JSONL",
+                    help="skip generation and re-validate a committed "
+                         "frozen corpus (e.g. src/test/resources/fuzz/"
+                         "corpus_seed42.jsonl) against DuckDB — the only "
+                         "honest validation path for corpora drawn at an "
+                         "earlier grammar rev, where same-seed "
+                         "regeneration emits a different stream")
     ap.add_argument("--max-print", type=int, default=8)
     a = ap.parse_args()
 
     os.makedirs(a.out, exist_ok=True)
-    corpus = gen_corpus(a.seed, a.n, a.sf, dialect=a.dialect)
+    if a.replay:
+        corpus = [json.loads(l) for l in open(a.replay)]
+        # committed corpora are single-sf; records without the field are
+        # the seed-42/43 era (drawn and verified at sf0.001)
+        sfs = {q.get("sf", "sf0.001") for q in corpus}
+        assert len(sfs) == 1, f"mixed-sf corpus: {sfs}"
+        a.sf = f"/root/testdata/{sfs.pop()}"
+        print(f"[fuzz] replaying {len(corpus)} frozen queries from "
+              f"{a.replay} at {a.sf}")
+    else:
+        corpus = gen_corpus(a.seed, a.n, a.sf, dialect=a.dialect,
+                            write=a.write)
     qfile = f"{a.out}/queries.jsonl"
     with open(qfile, "w") as f:
         for q in corpus:
@@ -1104,6 +1290,8 @@ def main():
         if name in err_names:
             n_fail += 1; fails.append((name, "engine_error", q["sql"])); continue
         try:
+            for stmt in q.get("oracle_setup", []):
+                con.execute(stmt)
             dtbl = con.execute(sql).fetch_arrow_table()
         except Exception as e:
             n_fail += 1; fails.append((name, f"duckdb_error: {e}", sql))
