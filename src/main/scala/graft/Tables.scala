@@ -38,18 +38,35 @@ object Tables {
     * below the exchange) and only ahead of compute-heavy projections:
     * a plain aggregate over a small scan doesn't need the shuffle.
     *
-    * Size-gated: below ~4 MB (Spark's own openCostInBytes scale) the
+    * Size-gated on the REAL on-disk bytes of the source leaves, not the
+    * CBO estimate: below ~4 MB (Spark's own openCostInBytes scale) the
     * exchange cannot pay for itself — especially under the LSH kernels'
     * recompute-over-cache design, where the source subtree (and thus the
     * exchange) re-executes several times per query — so tiny relations
-    * pass through untouched. */
+    * pass through untouched. The r9 soak showed why the estimate is the
+    * wrong gate input: `optimizedPlan.stats.sizeInBytes` is scaled by
+    * column pruning and CBO guesses, and the q8 index build at sf1 sat
+    * UNDER the old 4 MB estimate gate while its one-row-group file sat
+    * well over it — the heavy fused quantization stage ran on one core
+    * (inverted scaling, caught by the curve). FileIndex sizes are facts,
+    * not estimates; an un-ANALYZE'd or projection-shrunk source can no
+    * longer dodge the floor. */
   def parallelized(df: DataFrame): DataFrame = {
     val cores = df.sparkSession.sparkContext.defaultParallelism
-    val bytes = df.queryExecution.optimizedPlan.stats.sizeInBytes
-    if (bytes >= 4L * 1024 * 1024 && df.rdd.getNumPartitions * 2 < cores)
-      df.repartition(cores)
-    else df
+    if (df.rdd.getNumPartitions * 2 >= cores) return df
+    if (leafBytes(df) >= 4L * 1024 * 1024) df.repartition(cores) else df
   }
+
+  /** Actual bytes behind a plan's source leaves: file-index sizes for
+    * file scans (exact, estimate-free); plan-stats sizeInBytes for
+    * non-file leaves (local/cached relations — there the "estimate" IS
+    * the materialized size). */
+  private[graft] def leafBytes(df: DataFrame): BigInt =
+    df.queryExecution.optimizedPlan.collectLeaves().map {
+      case lr: org.apache.spark.sql.execution.datasources.LogicalRelation =>
+        BigInt(lr.relation.sizeInBytes)
+      case other => other.stats.sizeInBytes
+    }.sum
 
   /** events.ts is parquet TIMESTAMP(NANOS), surfaced as epoch-nano Long
     * (spark.sql.legacy.parquet.nanosAsLong) — convert to a proper

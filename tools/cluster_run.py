@@ -52,6 +52,11 @@ def main():
     env = dict(os.environ,
                SPARK_GRAFT_MASTER=a.master,
                SPARK_WORKER_DIR=a.workdir,
+               # binary distributions don't carry launcher/target build
+               # dirs; without this the Worker's executor-command builder
+               # probes them and dies with "Cannot find any build
+               # directories" before the executor JVM ever forks
+               SPARK_SCALA_VERSION="2.13",
                SPARK_GRAFT_CPUS="32")
     rc_total = 0
 
