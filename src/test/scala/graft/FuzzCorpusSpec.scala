@@ -49,9 +49,14 @@ class FuzzCorpusSpec extends SparkSpec {
         .stripPrefix("corpus_").stripSuffix(".jsonl"), p))
       .toSeq.sortBy(_._1)
 
-  /** Returns (sfDir, queries). A corpus is generated against ONE SF; a
+  /** One replayable record: write-path corpora (fuzz.py --write) carry a
+    * DML script around the probe; SELECT corpora have empty script lists. */
+  private case class Rec(name: String, sql: String,
+                         setup: Seq[String], teardown: Seq[String])
+
+  /** Returns (sfDir, records). A corpus is generated against ONE SF; a
     * mixed-sf corpus is a generation bug and fails loudly here. */
-  private def loadCorpus(p: Path): (String, Seq[(String, String)]) = {
+  private def loadCorpus(p: Path): (String, Seq[Rec]) = {
     import spark.implicits._
     val raw = spark.read.json(p.toString)
     val sf =
@@ -60,8 +65,13 @@ class FuzzCorpusSpec extends SparkSpec {
         assert(sfs.size == 1, s"$p mixes scale factors: $sfs")
         sfs.head
       } else defaultSf
-    val qs = raw.select("name", "sql").as[(String, String)]
-      .collect().toSeq.sortBy(_._1)
+    def optList(r: org.apache.spark.sql.Row, col: String): Seq[String] =
+      if (!raw.columns.contains(col) || r.isNullAt(r.fieldIndex(col))) Nil
+      else r.getSeq[String](r.fieldIndex(col))
+    val qs = raw.collect().toSeq.map { r =>
+      Rec(r.getString(r.fieldIndex("name")), r.getString(r.fieldIndex("sql")),
+        optList(r, "setup"), optList(r, "teardown"))
+    }.sortBy(_.name)
     (s"/root/testdata/$sf", qs)
   }
 
@@ -85,13 +95,18 @@ class FuzzCorpusSpec extends SparkSpec {
     (rows.length.toLong, md.digest().map("%02x".format(_)).mkString)
   }
 
-  private def run(sfDir: String,
-                  corpus: Seq[(String, String)]): Map[String, (Long, String)] = {
+  private def run(sfDir: String, corpus: Seq[Rec]): Map[String, (Long, String)] = {
     // registerAll, not ensureViews: the shared test session may have had a
     // fixture view overwritten by another suite without the memo knowing.
     Tables.registerAll(spark, sfDir)
-    corpus.map { case (name, sql) =>
-      name -> signature(EngineSession.sql(spark, sql))
+    corpus.map { rec =>
+      try {
+        rec.setup.foreach(EngineSession.sql(spark, _).collect())
+        rec.name -> signature(EngineSession.sql(spark, rec.sql))
+      } finally rec.teardown.foreach { s =>
+        try EngineSession.sql(spark, s).collect()
+        catch { case _: Throwable => () }
+      }
     }.toMap
   }
 
@@ -108,21 +123,41 @@ class FuzzCorpusSpec extends SparkSpec {
   corpora.foreach { case (tag, corpusPath) =>
     val goldenPath = goldenDir.resolve(s"fuzz_$tag.golden")
     val seed = tag.stripPrefix("seed")
-    if (regen) {
+    // GRAFT_REGEN_FUZZ=1 regenerates every corpus' pins;
+    // GRAFT_REGEN_FUZZ=seed52,seed53 only the named ones (the others
+    // replay-verify as usual — a new corpus shouldn't force re-running
+    // 7000 pinned queries).
+    val regenThis = regen && {
+      val v = sys.env("GRAFT_REGEN_FUZZ")
+      v == "1" || v.split(',').contains(tag)
+    }
+    if (regenThis) {
       test(s"regenerate fuzz corpus goldens [$tag]") {
         val (sfDir, corpus) = loadCorpus(corpusPath)
-        val header = Seq(
-          s"# Engine result pins for the $tag differential-fuzz corpus " +
-            s"at ${sfDir.split('/').last}.",
-          "# Columns: name<TAB>rowcount<TAB>sha256. Regenerate ONLY after",
-          s"# `python3 tools/fuzz.py --seed $seed --n 1000` exits 0 (DuckDB agreement):",
-          "#   GRAFT_REGEN_FUZZ=1 sbt 'testOnly graft.FuzzCorpusSpec'")
+        // keep an existing golden's header verbatim: headers carry
+        // hand-written grammar-rev provenance (which seeds can still be
+        // regenerated by the CURRENT grammar vs. replay-only frozen
+        // streams) that a regen must not clobber
+        val header: Seq[String] =
+          if (Files.exists(goldenPath))
+            Files.readAllLines(goldenPath, StandardCharsets.UTF_8).asScala
+              .takeWhile(_.startsWith("#")).toSeq
+          else Seq(
+            s"# Engine result pins for the $tag differential-fuzz corpus " +
+              s"at ${sfDir.split('/').last}.",
+            "# Columns: name<TAB>rowcount<TAB>sha256. Regenerate ONLY after",
+            s"# `python3 tools/fuzz.py --seed $seed` exits 0 (DuckDB agreement):",
+            s"#   GRAFT_REGEN_FUZZ=$tag sbt 'testOnly graft.FuzzCorpusSpec'")
         val lines = run(sfDir, corpus).toSeq.sortBy(_._1)
           .map { case (n, (c, h)) => s"$n\t$c\t$h" }
         Files.createDirectories(goldenPath.getParent)
         Files.write(goldenPath, (header ++ lines).asJava, StandardCharsets.UTF_8)
         info(s"wrote ${lines.size} pins to $goldenPath")
       }
+    } else if (regen) {
+      // named-regen mode: unnamed corpora are skipped (their pins are
+      // untouched; the ordinary replay run still guards them in CI)
+      ignore(s"fuzz corpus replays with pinned results [$tag]") {}
     } else {
       test(s"fuzz corpus replays with pinned results [$tag]") {
         val (sfDir, corpus) = loadCorpus(corpusPath)

@@ -1078,7 +1078,10 @@ class WriteGen(Gen):
             if null_part_col == c["alias"]:
                 lit = self.lit_of(t, c["src"], c["kind"])
                 e = f"NULLIF({e}, {lit})"
-            parts.append(e)
+            # alias ALWAYS: engines derive different auto-names from
+            # expressions (Spark keeps the cast child's name, DuckDB the
+            # full expression text), and CTAS turns those into schema
+            parts.append(f"{e} AS {c['alias']}")
         return f"SELECT {', '.join(parts)} FROM {t} WHERE {pred}"
 
     def values_rows(self, t, cols, n_rows):
