@@ -1010,6 +1010,120 @@ class DialectGen(Gen):
         return self.dq_window()
 
 
+class NestedGen(Gen):
+    # rev 1 = first nested-type grammar (round 10)
+    GRAMMAR_REV = 1
+
+    """Nested-type grammar (v4): array/map/struct/JSON-path expressions —
+    the claimed JSON-superset surface that previously had only curated
+    coverage. Values are CONSTRUCTED inline from flat columns (array(),
+    named_struct(), map(), concat-built JSON documents), then consumed
+    through the nested eval paths: element_at with data-dependent
+    indices, struct field access (incl. a field of an exploded struct),
+    explode/posexplode as lateral generators, size/sort_array,
+    get_json_object over nested paths.
+
+    Oracle strategy: DuckDB computes the FLAT TRUTH of each expression
+    (e.g. engine `element_at(array(a,b,c), 1 + ic % 3)` pairs with
+    `CASE ic % 3 WHEN 0 THEN a ... END`) rather than mirroring the
+    nested construction — the oracle's job is ground truth, and a flat
+    reformulation can't share a nested-eval bug with the engine. Same
+    envelope rules as the dialect grammar (integer-exact values,
+    comparator sorts rows)."""
+
+    def nexpr(self, scope):
+        """One paired (engine, duck) projection over in-scope columns.
+
+        Ints are coalesce-wrapped (outer joins make them nullable, and
+        null-in-nested semantics legitimately differ: Spark's least()
+        skips nulls while sort_array puts them first; a null JSON
+        fragment nulls the whole concat) and indices go through abs()
+        (element_at's 1-based domain rejects 0/negatives) — both sides
+        of each pair see the IDENTICAL wrapped input, so the envelope
+        constrains values without hiding nested-eval bugs."""
+        ics = self.int_cols(scope)
+        scs = self.str_cols(scope)
+        t, a = self.pick(ics)
+        t2, b = self.pick(ics)
+        t3, c = self.pick(ics)
+        ea, eb, ec = (f"coalesce({t}.{a}, -1)", f"coalesce({t2}.{b}, -1)",
+                      f"coalesce({t3}.{c}, -1)")
+        r = self.rng.random()
+        if r < 0.22:  # array + data-dependent index
+            if self.rng.random() < 0.5:
+                idx = self.rng.randrange(1, 4)
+                return (f"element_at(array({ea}, {eb}, {ec}), {idx})",
+                        [ea, eb, ec][idx - 1])
+            return (f"element_at(array({ea}, {eb}, {ec}), "
+                    f"CAST(1 + abs({ea}) % 3 AS INT))",
+                    f"CASE (abs({ea}) % 3) WHEN 0 THEN {ea} WHEN 1 THEN {eb} "
+                    f"WHEN 2 THEN {ec} END")
+        if r < 0.36:  # array size / sorted head
+            if self.rng.random() < 0.5:
+                return (f"size(array({ea}, {eb}, {ec}))", "3")
+            return (f"element_at(sort_array(array({ea}, {eb}, {ec})), 1)",
+                    f"least({ea}, {eb}, {ec})")
+        if r < 0.56:  # struct construction + field access
+            f1 = f"named_struct('x', {ea}, 'y', {eb})"
+            d1 = f"struct_pack(x := {ea}, y := {eb})"
+            fld = self.pick(["x", "y"])
+            return (f"({f1}).{fld}", f"({d1}).{fld}")
+        if r < 0.74:  # map with a data-dependent key
+            if scs:
+                ts, s = self.pick(scs)
+                es = f"{ts}.{s}"
+                cond = f"{es} > {self.lit_of(ts, s, 'str')}"
+            else:
+                cond = f"{ea} % 2 = 0"
+            return (f"element_at(map('k1', {ea}, 'k2', {eb}), "
+                    f"CASE WHEN {cond} THEN 'k1' ELSE 'k2' END)",
+                    f"CASE WHEN {cond} THEN {ea} ELSE {eb} END")
+        if r < 0.9:  # JSON path over a constructed document
+            if self.rng.random() < 0.5:
+                return (f"get_json_object(concat('{{\"p\":', CAST({ea} AS STRING), "
+                        f"',\"q\":', CAST({eb} AS STRING), '}}'), '$.q')",
+                        f"CAST({eb} AS VARCHAR)")
+            return (f"get_json_object(concat('{{\"o\":{{\"p\":', "
+                    f"CAST({ea} AS STRING), '}}}}'), '$.o.p')",
+                    f"CAST({ea} AS VARCHAR)")
+        # struct field through an array element (pruning through nesting)
+        return (f"element_at(array(named_struct('v', {ea}), "
+                f"named_struct('v', {eb})), 2).v", eb)
+
+    def query_pair(self):
+        """SELECT of 2-3 nested projections (or an explode shape) over a
+        random FK join tree with a common-dialect predicate."""
+        frm, scope = self.from_clause(self.rng.randrange(0, 2))
+        pred = self.predicate(scope)
+        if self.rng.random() < 0.25:  # lateral generator shape
+            ics = self.int_cols(scope)
+            t, a = self.pick(ics)
+            t2, b = self.pick(ics)
+            ea, eb = f"{t}.{a}", f"{t2}.{b}"
+            key_t, key_c = self.pick(ics)
+            key = f"{key_t}.{key_c}"
+            if self.rng.random() < 0.5:
+                eng = (f"SELECT k0, ev FROM (SELECT {key} AS k0, "
+                       f"explode(array({ea}, {eb})) AS ev "
+                       f"FROM {frm} WHERE {pred}) sub")
+                duck = (f"SELECT {key} AS k0, UNNEST([{ea}, {eb}]) AS ev "
+                        f"FROM {frm} WHERE {pred}")
+            else:  # posexplode: position must ride along
+                eng = (f"SELECT k0, p, ev FROM (SELECT {key} AS k0, "
+                       f"posexplode(array({ea}, {eb})) AS (p, ev) "
+                       f"FROM {frm} WHERE {pred}) sub")
+                duck = (f"SELECT {key} AS k0, "
+                        f"UNNEST([0, 1]) AS p, UNNEST([{ea}, {eb}]) AS ev "
+                        f"FROM {frm} WHERE {pred}")
+            return eng, duck
+        n_proj = self.rng.randrange(2, 4)
+        pairs = [self.nexpr(scope) for _ in range(n_proj)]
+        esel = ", ".join(f"{e} AS c{i}" for i, (e, _) in enumerate(pairs))
+        dsel = ", ".join(f"{d} AS c{i}" for i, (_, d) in enumerate(pairs))
+        return (f"SELECT {esel} FROM {frm} WHERE {pred}",
+                f"SELECT {dsel} FROM {frm} WHERE {pred}")
+
+
 class WriteGen(Gen):
     # rev 1 = first write-path grammar (round 10)
     GRAMMAR_REV = 1
@@ -1164,13 +1278,14 @@ class WriteGen(Gen):
                     oracle_setup=oset, oracle_sql=probe)
 
 
-def gen_corpus(seed, n, sf_dir, dialect=False, write=False):
+def gen_corpus(seed, n, sf_dir, dialect=False, write=False, nested=False):
     con = duckdb.connect()
     for t in TABLES:
         con.execute(f"CREATE VIEW {t} AS SELECT * FROM "
                     f"read_parquet('{sf_dir}/{t}.parquet')")
     verify_unique(con)
-    cls = WriteGen if write else DialectGen if dialect else Gen
+    cls = (WriteGen if write else NestedGen if nested
+           else DialectGen if dialect else Gen)
     g = (cls(random.Random(seed), sample_literals(con, sf_dir),
              probe=lambda q: con.execute(q).fetchall(), seed=seed)
          if write else
@@ -1183,7 +1298,7 @@ def gen_corpus(seed, n, sf_dir, dialect=False, write=False):
         if write:
             script = g.script()
             sql, oracle = tuple(script["setup"]), None
-        elif dialect:
+        elif dialect or nested:
             sql, oracle = g.query_pair()
         else:
             sql, oracle = g.query(), None
@@ -1235,6 +1350,9 @@ def main():
     ap.add_argument("--write", action="store_true",
                     help="write-path grammar (v3): INSERT/CTAS/partition "
                          "round-trip scripts instead of SELECT queries")
+    ap.add_argument("--nested", action="store_true",
+                    help="nested-type grammar (v4): array/map/struct/JSON "
+                         "expressions vs a flat-truth DuckDB oracle")
     ap.add_argument("--replay", metavar="CORPUS_JSONL",
                     help="skip generation and re-validate a committed "
                          "frozen corpus (e.g. src/test/resources/fuzz/"
@@ -1257,7 +1375,7 @@ def main():
               f"{a.replay} at {a.sf}")
     else:
         corpus = gen_corpus(a.seed, a.n, a.sf, dialect=a.dialect,
-                            write=a.write)
+                            write=a.write, nested=a.nested)
     qfile = f"{a.out}/queries.jsonl"
     with open(qfile, "w") as f:
         for q in corpus:
