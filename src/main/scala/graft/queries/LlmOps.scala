@@ -122,17 +122,24 @@ object LlmOps {
     ORDER BY doc_id"""
 
   /** n-gram Jaccard dedup: exact char-trigram jaccard over all pairs of a
-    * modulo-sampled doc slice (the oracle-checkable verification kernel;
-    * at scale the pair source is LSH candidates, not all-pairs). Integer
-    * set sizes divide exactly in IEEE doubles → bit-matches DuckDB. */
+    * BOUNDED modulo-sampled doc slice (the oracle-checkable verification
+    * kernel; at scale the pair source is LSH candidates, not all-pairs).
+    * The slice is bounded absolutely (`doc_id < 50000`) because the
+    * by-gram kernel's contract is "caller bounds the slice" — dense
+    * char-trigram sets make exact pair jaccard Σ df² ≈ quadratic in the
+    * slice by construction (see [[Dedup.ngramJaccardPairsIndexed]]'s
+    * scale contract; the r10 distinct-corpus soak measured α≈2.4 on the
+    * unbounded form — same posture as q_dedup_cosine's vec_id bound).
+    * Integer set sizes divide exactly in IEEE doubles → bit-matches
+    * DuckDB. */
   def qDedupNgram(spark: SparkSession, dir: String): DataFrame = {
     val docs = Tables.parallelized(Tables.load(spark, dir, "documents"))
     // the inverted-index form: identical output to the all-pairs kernel
     // (LlmOpsSpec proves it), but a codegen'd shuffle-by-gram join
     // instead of per-pair array intersections
     Dedup.ngramJaccardPairsIndexed(
-        docs.filter(col("doc_id") % 50 === 0), "text", "doc_id",
-        n = 3, threshold = 0.5)
+        docs.filter(col("doc_id") % 50 === 0 && col("doc_id") < 50000),
+        "text", "doc_id", n = 3, threshold = 0.5)
       .orderBy(col("id_a"), col("id_b"))
   }
 
@@ -142,7 +149,7 @@ object LlmOps {
              list_distinct(list_transform(
                generate_series(1, greatest(length(lower(text)) - 2, 1)),
                i -> substr(lower(text), i, 3))) AS grams
-      FROM documents WHERE doc_id % 50 = 0)
+      FROM documents WHERE doc_id % 50 = 0 AND doc_id < 50000)
     SELECT a.doc_id AS id_a, b.doc_id AS id_b,
            CAST(len(list_intersect(a.grams, b.grams)) AS DOUBLE) /
            len(list_distinct(list_concat(a.grams, b.grams))) AS jaccard
@@ -1014,8 +1021,17 @@ object LlmOps {
     * computes the same closure with a recursive CTE — reachability then
     * MIN over reached ids. */
   def qDedupComponents(spark: SparkSession, dir: String): DataFrame = {
+    // bounded slice (`doc_id < 50000`, the q_dedup_cosine posture): the
+    // edge-generation kernel is by-gram exact jaccard, whose cost is
+    // quadratic in DISTINCT slice volume by construction — the r10
+    // distinct-corpus soak OOMed the unbounded form at sf10 (the
+    // pair-count hash aggregate is Σ df² rows). Corpus-scale components
+    // take their edges from LSH candidates (minhashClusters), not from
+    // exact all-pairs jaccard; this entry oracle-checks the components
+    // kernel itself over an exactly-reproducible edge set.
     val docs = Tables.parallelized(
-      Tables.load(spark, dir, "documents").filter(col("doc_id") % 10 === 0))
+      Tables.load(spark, dir, "documents")
+        .filter(col("doc_id") % 10 === 0 && col("doc_id") < 50000))
     // the star-edge form: identical labels to components over the
     // expanded ngramJaccardPairsIndexed list, but the edge set is
     // |rep pairs| + |docs| instead of quadratic in dup-group size —
@@ -1039,7 +1055,7 @@ object LlmOps {
   val qDedupComponentsSql: String = """
     WITH RECURSIVE base AS (
       SELECT doc_id, lower(text) AS t, md5(lower(text)) AS tkey
-      FROM documents WHERE doc_id % 10 = 0),
+      FROM documents WHERE doc_id % 10 = 0 AND doc_id < 50000),
     rep AS (SELECT tkey, MIN(doc_id) AS rep_id FROM base GROUP BY tkey),
     reps AS (
       SELECT r.rep_id AS doc_id,

@@ -69,6 +69,14 @@ STRIDES = {
 }
 FIXED = ["region", "nation"]
 
+# pyarrow's default row group is 1Mi rows, so a synthesized 500k-row table
+# lands in ONE row group — parquet splits only at row-group boundaries, so
+# every scan serializes onto one core no matter how many byte-range splits
+# Spark plans (the r10 sf10d soak spent most of its wall-clock in
+# single-task scan tails). Real corpora are many files / many row groups;
+# ~50k rows per group gives the planner honest split parallelism.
+ROW_GROUP = 50000
+
 
 def replicate(name: str) -> None:
     src = pq.read_table(f"{SRC}/{name}.parquet")
@@ -90,7 +98,7 @@ def replicate(name: str) -> None:
             cols.append(col)
         parts.append(pa.table(cols, schema=schema))
     out = pa.concat_tables(parts)
-    pq.write_table(out, f"{DST}/{name}.parquet")
+    pq.write_table(out, f"{DST}/{name}.parquet", row_group_size=ROW_GROUP)
     print(f"{name}: {src.num_rows} -> {out.num_rows}")
 
 
@@ -160,7 +168,7 @@ def synth_documents() -> None:
         "source": pa.array([f"src{i % 20}" for i in range(n_docs)], type=pa.string()),
         "n_chars": pa.array([len(t) for t in out_text], type=pa.int64()),
     })
-    pq.write_table(out, f"{DST}/documents.parquet")
+    pq.write_table(out, f"{DST}/documents.parquet", row_group_size=ROW_GROUP)
     n_distinct = len(set(out_text))
     print(f"documents: synthesized {n_docs} ({n_distinct} distinct texts)")
 
@@ -190,7 +198,7 @@ def synth_embeddings() -> None:
         "embedding": pa.ListArray.from_arrays(offsets, flat),
         "label": pa.array(rng.integers(0, 10, size=n), type=pa.int32()),
     })
-    pq.write_table(out, f"{DST}/embeddings.parquet")
+    pq.write_table(out, f"{DST}/embeddings.parquet", row_group_size=ROW_GROUP)
     print(f"embeddings: synthesized {n} distinct ({n_dup} near-dup planted)")
 
 
