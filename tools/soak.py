@@ -24,7 +24,7 @@ Usage:
 Writes out/soak.json and prints a markdown table. Exit 1 iff any entry is
 flagged superlinear.
 """
-import argparse, json, math, os, subprocess, sys
+import argparse, json, math, os, re, subprocess, sys
 
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
@@ -77,6 +77,10 @@ def main():
     ap.add_argument("--out", default="/tmp/soak")
     ap.add_argument("--thresh", type=float, default=1.35)
     ap.add_argument("--floor", type=float, default=0.75)
+    ap.add_argument("--fit-only", action="store_true",
+                    help="skip the benches; refit from the Bench JSON "
+                         "lines already in <out>/sbt_<tag>.log (for "
+                         "re-running the analysis after a fit bug)")
     a = ap.parse_args()
     sfs = a.sfs.split(",")
     entries = a.entries.split(",")
@@ -91,6 +95,11 @@ def main():
     results = {}  # tag -> bench json
     try:
         for d in sfs:
+            if a.fit_only:
+                with open(f"{a.out}/sbt_{tag(d)}.log") as f:
+                    line = [l for l in f if l.startswith('{"metric"')][-1]
+                results[tag(d)] = json.loads(line)
+                continue
             print(f"[soak] running {len(entries)} entries at {d} ...")
             results[tag(d)] = run_sf(d, entries, a.out)
     finally:
@@ -99,7 +108,14 @@ def main():
                 f.write(saved)
 
     tags = [tag(d) for d in sfs]
-    sf_of = {t: float(results[t]["sf"]) for t in tags}
+    # Bench quotes non-numeric sf tags (sf1d -> "1d"); the numeric scale
+    # for the exponent fit is the leading number of the tag.
+    def scale(v):
+        m = re.match(r"[0-9.]+", str(v))
+        if not m:
+            raise ValueError(f"cannot read a scale factor from sf tag {v!r}")
+        return float(m.group(0))
+    sf_of = {t: scale(results[t]["sf"]) for t in tags}
     flagged = []
     lines = ["| entry | " + " | ".join(f"{t} (s)" for t in tags) +
              " | " + " | ".join(f"α {tags[i]}→{tags[i+1]}"
