@@ -27,12 +27,32 @@ object Tables {
     * yields ONE input split no matter what maxPartitionBytes says — and
     * every operator fused into the scan stage (regex stats, shingling,
     * per-shingle hashing, partial aggregates) then runs on one core while
-    * the rest of the cluster idles. When the planned scan has fewer than
-    * half the cluster's cores in splits, insert one round-robin exchange
-    * so downstream per-row work distributes; the shuffled bytes are the
-    * (small, that's why it mattered) source itself. At production scale —
-    * many files / many row groups, splits >= cores — this is a no-op and
-    * the plan is unchanged.
+    * the rest of the cluster idles. Unless the planned scan has splits in
+    * clear ABUNDANCE (>= 2x the cluster's cores), insert one round-robin
+    * exchange so downstream per-row work distributes; the shuffled bytes
+    * are the (small, that's why it mattered) source itself. At production
+    * scale — many files / many row groups, splits >> cores — this is a
+    * no-op and the plan is unchanged.
+    *
+    * Why an abundance margin and not "splits >= cores/2": planned
+    * byte-range splits OVERSTATE a parquet scan's working parallelism in
+    * two ways the r10 distinct-corpus soak measured, both on a 72 MB /
+    * 10-row-group file that planned ~18 splits (>= cores/2, so the old
+    * gate skipped the exchange on 32 cores):
+    *  - rows materialize only in the split containing each ROW GROUP's
+    *    midpoint, so 18 planned splits were 10 working tasks and the
+    *    fused regex-stats stage ran 10-wide (q_text_stats sf3d→sf10d
+    *    alpha 1.59 — sf3d planned 5 splits, tripped the floor, and ran
+    *    32-wide, FASTER per byte than the bigger corpus);
+    *  - a pushed-down filter prunes row groups by their min/max stats,
+    *    so a bounded slice (doc_id < 50000) left ONE working row group
+    *    and the whole by-gram kernel ran on one core
+    *    (q_dedup_components 18.9s→83.5s on a slice of IDENTICAL size).
+    * Counting working splits pre-execution would mean reading footers
+    * and re-implementing row-group pruning; the margin buys the same
+    * protection for one cheap exchange of the (by construction small)
+    * source in the ambiguous band, and leaves genuinely parallel scans
+    * — splits >= 2x cores, the only at-scale regime — untouched.
     *
     * Call it AFTER slicing/selecting (pushdown happens at the scan,
     * below the exchange) and only ahead of compute-heavy projections:
@@ -53,7 +73,7 @@ object Tables {
     * longer dodge the floor. */
   def parallelized(df: DataFrame): DataFrame = {
     val cores = df.sparkSession.sparkContext.defaultParallelism
-    if (df.rdd.getNumPartitions * 2 >= cores) return df
+    if (df.rdd.getNumPartitions >= cores * 2) return df
     if (leafBytes(df) >= 4L * 1024 * 1024) df.repartition(cores) else df
   }
 

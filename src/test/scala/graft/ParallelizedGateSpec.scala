@@ -57,4 +57,53 @@ class ParallelizedGateSpec extends SparkSpec {
       assert(Tables.parallelized(tiny).rdd.getNumPartitions === tiny.rdd.getNumPartitions)
     } finally spark.conf.set("spark.sql.files.openCostInBytes", prevOpenCost)
   }
+
+  /** The r10 soak regression, pinned: planned byte-range splits OVERSTATE
+    * a parquet scan's working parallelism (rows materialize only in the
+    * split holding each row group's midpoint, and pushed-down filters
+    * prune row groups by footer stats), so a scan whose planned splits
+    * cleared the old `>= cores/2` bar could still execute its heavy
+    * fused stage on one core (q_text_stats alpha 1.59, q_dedup_components
+    * 18.9s→83.5s on an identically-sized bounded slice — both at sf10d,
+    * both because the 72 MB file planned 18 splits on 32 cores). The
+    * floor now requires ABUNDANCE (planned >= 2x cores) to skip. */
+  test("ambiguous-band split counts trip the floor; abundant ones don't (r10 class)") {
+    val dir = java.nio.file.Files.createTempDirectory("par_band").toString
+    spark.range(90000)
+      .select(col("id"),
+        concat_ws("", (0 until 20).map(_ => md5(col("id").cast("string"))): _*).as("payload"))
+      .coalesce(1)
+      .write.mode("overwrite").parquet(dir)
+    val cores = spark.sparkContext.defaultParallelism
+    val bytes = Tables.leafBytes(spark.read.parquet(dir)).toLong
+    assert(bytes >= 4L * 1024 * 1024, s"setup: file should exceed the 4 MB gate, got $bytes")
+    val prevMax = spark.conf.get("spark.sql.files.maxPartitionBytes")
+    val prevOpen = spark.conf.get("spark.sql.files.openCostInBytes")
+    spark.conf.set("spark.sql.files.openCostInBytes", "0")
+    try {
+      // ambiguous band: planned in [cores/2, 2*cores) — the r10 trap.
+      // Split-size the file so it plans ~cores splits: enough for the
+      // old gate to skip, but (on a one-row-group file) only ONE of
+      // them would ever materialize rows.
+      spark.conf.set("spark.sql.files.maxPartitionBytes", (bytes / cores + 1).toString)
+      val banded = spark.read.parquet(dir).select(col("id"))
+      val planned = banded.rdd.getNumPartitions
+      assert(planned * 2 >= cores && planned < cores * 2,
+        s"setup: planned splits should land in the ambiguous band, got $planned on $cores cores")
+      assert(Tables.parallelized(banded).rdd.getNumPartitions === cores,
+        "an ambiguous-band scan over a multi-MB source must be floored to cores")
+
+      // abundance: planned >= 2x cores — the at-scale regime; unchanged
+      spark.conf.set("spark.sql.files.maxPartitionBytes", (bytes / (3 * cores) + 1).toString)
+      val abundant = spark.read.parquet(dir).select(col("id"))
+      val plannedA = abundant.rdd.getNumPartitions
+      assert(plannedA >= cores * 2,
+        s"setup: expected abundant splits, got $plannedA on $cores cores")
+      assert(Tables.parallelized(abundant).rdd.getNumPartitions === plannedA,
+        "a split-abundant scan must pass through exchange-free")
+    } finally {
+      spark.conf.set("spark.sql.files.maxPartitionBytes", prevMax)
+      spark.conf.set("spark.sql.files.openCostInBytes", prevOpen)
+    }
+  }
 }
