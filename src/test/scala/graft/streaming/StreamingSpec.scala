@@ -158,6 +158,61 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming ingest survives a checkpointed stop/restart exactly-once") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    // The restart analogue of TaskRetrySpec: a production ingest is
+    // stopped and redeployed constantly; correctness means the
+    // dropDuplicatesWithinWatermark STATE (one md5 per kept doc) and the
+    // file sink's commit manifest both survive the restart. The replay
+    // plants duplicates whose originals arrived BEFORE the stop — if the
+    // state store restore were broken they would be re-emitted; if the
+    // sink manifest were broken, committed pre-stop files would be
+    // re-written or half-written files would become visible.
+    val corpus = graft.Tables.load(spark, "/root/testdata/sf0.001", "documents")
+      .select("doc_id", "lang", "text").limit(60).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2)))
+    def mkDocs(rows: Seq[(Long, String, String)], idBase: Long) =
+      rows.zipWithIndex.map { case ((_, lang, text), i) =>
+        DocumentStream.Doc(idBase + i,
+          java.sql.Timestamp.valueOf(f"2024-01-01 10:${(idBase + i) % 60}%02d:00"),
+          lang, text)
+      }
+    val phaseA = mkDocs(corpus.take(40).toSeq, 1000L) // originals, pre-stop
+    // post-restart: 10 duplicates of pre-stop docs + the 20 remaining originals
+    val phaseB = mkDocs(corpus.take(10).toSeq ++ corpus.drop(40), 2000L)
+    val cutoffs = DocumentStream.calibrateCutoffs(
+      graft.Tables.load(spark, "/root/testdata/sf0.001", "documents"))
+    val out = java.nio.file.Files.createTempDirectory("restart_sink").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("restart_ckpt").toString
+    val mem = MemoryStream[DocumentStream.Doc]
+    def start() = DocumentStream.ingest(mem.toDF(), cutoffs).writeStream
+      .format("parquet").option("path", out)
+      .option("checkpointLocation", ckpt).start()
+    val q1 = start()
+    try { mem.addData(phaseA); q1.processAllAvailable() } finally q1.stop()
+    mem.addData(phaseB) // arrives while the query is DOWN
+    val q2 = start() // fresh query instance, same checkpoint + sink
+    try { q2.processAllAvailable() } finally q2.stop()
+    // reading the sink dir goes through its _spark_metadata manifest, so
+    // only files committed exactly-once are visible
+    val got = spark.read.parquet(out)
+      .select("fp").collect().map(_.getString(0)).sorted.toSeq
+    val want = DocumentStream.gate((phaseA ++ phaseB).toDF(), cutoffs)
+      .select("fp").distinct().collect().map(_.getString(0)).sorted.toSeq
+    assert(got === want)
+    // the restart boundary was actually exercised in both directions:
+    // phase B contributed new survivors, and at least one phase-B
+    // duplicate of a pre-stop original was dropped by restored state
+    val aFps = DocumentStream.gate(phaseA.toDF(), cutoffs)
+      .select("fp").distinct().collect().map(_.getString(0)).toSet
+    assert(want.exists(fp => !aFps.contains(fp)), "phase B added no survivors")
+    val bDupFps = DocumentStream.gate(mkDocs(corpus.take(10).toSeq, 2000L).toDF(), cutoffs)
+      .select("fp").collect().map(_.getString(0)).toSet
+    assert(bDupFps.exists(aFps.contains),
+      "no post-restart duplicate of a pre-stop doc passed the gate — state restore unexercised")
+  }
+
   test("stream-stream interval join equals the batch interval join on bounded replay") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
