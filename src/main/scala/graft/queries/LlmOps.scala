@@ -783,6 +783,62 @@ object LlmOps {
     FROM perdoc p JOIN hits h USING (doc_id)
     ORDER BY doc_id"""
 
+  /** Exact-substring self-dedup (EXACTSUBSTR): per-doc duplicated-span
+    * stats over 5-token windows — k sized to the test corpus the same
+    * way [[qContamination]]'s n is; the operator default (13) is the
+    * production choice. The oracle re-derives the full kernel: windows,
+    * copy-weighted corpus-wide occurrence counts, gaps-and-islands span
+    * merge. */
+  def qDedupSubstring(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.parallelized(Tables.load(spark, dir, "documents"))
+    Dedup.exactSubstringSpans(docs, "text", "doc_id", k = 5)
+      .orderBy(col("doc_id"))
+  }
+
+  val qDedupSubstringSql: String = """
+    WITH dk AS (SELECT doc_id, md5(text) AS tkey FROM documents),
+    cp AS (SELECT tkey, COUNT(*) AS copies FROM dk GROUP BY tkey),
+    tx AS (
+      SELECT md5(text) AS tkey, string_split_regex(lower(trim(text)), '\s+') AS toks
+      FROM (SELECT min(text) AS text FROM documents GROUP BY md5(text))),
+    w AS (
+      SELECT tkey, len(toks) AS n_tokens, toks,
+             unnest(generate_series(0, greatest(len(toks) - 5, 0))) AS i
+      FROM tx),
+    wh AS (
+      SELECT tkey, n_tokens, i,
+             md5(concat_ws(' ', toks[i+1], toks[i+2], toks[i+3],
+                                toks[i+4], toks[i+5])) AS h
+      FROM w),
+    occ AS (
+      SELECT h, SUM(copies) AS occ FROM wh JOIN cp USING (tkey) GROUP BY h),
+    hits AS (
+      SELECT tkey, n_tokens, i FROM wh
+      WHERE h IN (SELECT h FROM occ WHERE occ >= 2)),
+    isl AS (
+      SELECT tkey, n_tokens, i,
+             CASE WHEN i > COALESCE(lag(i) OVER (PARTITION BY tkey ORDER BY i), -5) + 4
+                  THEN 1 ELSE 0 END AS gap
+      FROM hits),
+    isl2 AS (
+      SELECT tkey, n_tokens, i,
+             SUM(gap) OVER (PARTITION BY tkey ORDER BY i ROWS UNBOUNDED PRECEDING) AS island
+      FROM isl),
+    spans AS (
+      SELECT tkey, n_tokens, island, MIN(i) AS s, MAX(i) + 4 AS e, COUNT(*) AS nw
+      FROM isl2 GROUP BY tkey, n_tokens, island),
+    pertext AS (
+      SELECT tkey, n_tokens, COUNT(*) AS n_spans,
+             CAST(SUM(nw) AS BIGINT) AS n_dup_windows,
+             CAST(SUM(least(e, n_tokens - 1) - s + 1) AS BIGINT) AS dup_tokens
+      FROM spans GROUP BY tkey, n_tokens)
+    SELECT dk.doc_id, p.n_tokens,
+           CAST(greatest(p.n_tokens - 5, 0) + 1 AS BIGINT) AS n_windows,
+           p.n_dup_windows, p.n_spans,
+           p.dup_tokens, CAST(p.dup_tokens AS DOUBLE) / p.n_tokens AS dup_token_frac
+    FROM dk JOIN pertext p USING (tkey)
+    ORDER BY doc_id"""
+
   /** Weighted pretraining mix: en downsampled to 0.5, de upsampled to
     * 2.0 (two full copies), fr 1.25, es 1.0, zh 0.75. The md5 fractional
     * draw makes the mix reproducible anywhere — the oracle rebuilds the

@@ -45,7 +45,7 @@ class PlanFingerprintAtScaleSpec extends SparkSpec {
   private val heavy = Seq(
     "q_dedup_exact", "q_dedup_lines", "q_dedup_minhash", "q_dedup_ngram",
     "q_dedup_simhash", "q_dedup_components", "q_dedup_cosine",
-    "q_dedup_cosine_ivf", "q_contamination",
+    "q_dedup_cosine_ivf", "q_contamination", "q_dedup_substring",
     "q_sim_search", "q_sim_search_lsh", "q_sim_search_ivf",
     "q_sim_search_q8", "q_sim_search_q8_raw",
     "q_pipeline_e2e", "q_split_leakage_safe", "q_text_stats",

@@ -760,4 +760,47 @@ class LlmOpsSpec extends SparkSpec {
     assert(out.map(_.getAs[Long]("id_checksum")).sum ===
       reps.agg(sum(col("doc_id"))).collect()(0).getLong(0))
   }
+
+  test("exact-substring spans: cross-doc, within-doc, and exact-copy duplication; span merge") {
+    import spark.implicits._
+    val corpus = Seq(
+      (1L, "a1 a2 a3 a4 a5 a6 a7"),                // fully unique -> absent
+      (2L, "x1 x2 x3 x4 x5 u1 u2"),                // shares x1..x5 with doc 3
+      (3L, "y0 x1 x2 x3 x4 x5 z9"),                // shares x1..x5 with doc 2
+      (4L, "r1 r2 r3 q1 r1 r2 r3"),                // within-doc repeat of r1 r2 r3
+      (5L, "s1 s2 s3 s4"),                         // exact copy of 6
+      (6L, "s1 s2 s3 s4")
+    ).toDF("doc_id", "text")
+    val got = Dedup.exactSubstringSpans(corpus, "text", "doc_id", k = 3)
+      .collect().map(r => r.getLong(0) ->
+        (r.getInt(1), r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5),
+          r.getDouble(6))).toMap
+    assert(!got.contains(1L), "unique doc must not be emitted")
+    // docs 2/3: windows at the three positions covering x1..x5 merge into
+    // ONE 5-token span (7 tokens, 5 windows each)
+    assert(got(2L) === ((7, 5L, 3L, 1L, 5L, 5.0 / 7)))
+    assert(got(3L) === ((7, 5L, 3L, 1L, 5L, 5.0 / 7)))
+    // doc 4: "r1 r2 r3" occurs twice WITHIN the doc -> two disjoint
+    // 3-token spans (positions 0 and 4), middle windows unique
+    assert(got(4L) === ((7, 5L, 2L, 2L, 6L, 6.0 / 7)))
+    // docs 5/6: exact copies -> every window shared via the copy weight,
+    // one span covering the whole 4-token text
+    assert(got(5L) === ((4, 2L, 2L, 1L, 4L, 1.0)))
+    assert(got(6L) === ((4, 2L, 2L, 1L, 4L, 1.0)))
+  }
+
+  test("exact-substring spans: fraction bounds and window accounting on the real corpus") {
+    val real = graft.Tables.load(spark, "/root/testdata/sf0.001", "documents")
+    val out = Dedup.exactSubstringSpans(real, "text", "doc_id", k = 5)
+    val rows = out.collect()
+    assert(rows.nonEmpty, "sf0.001 corpus has injected dups — expected hits")
+    rows.foreach { r =>
+      val (nTok, nWin, nDupW, nSpans, dupTok, frac) =
+        (r.getInt(1), r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5), r.getDouble(6))
+      assert(nDupW <= nWin && nSpans <= nDupW && nSpans >= 1)
+      assert(dupTok <= nTok && frac > 0.0 && frac <= 1.0)
+      // each span covers at least k tokens unless truncated by doc end
+      assert(dupTok >= nSpans * math.min(5, nTok))
+    }
+  }
 }
