@@ -121,6 +121,10 @@ object ImpalaFunctions {
     // map-side partial merge — the shuffle-light replacement for
     // row_number-over-window candidate ranking (see TopKFront).
     "top_k_front" -> { case Seq(e, kk) => new TopKFront(e, kk) },
+    // heavy_hitters(item, m): bounded Misra-Gries frequency summary — the
+    // shuffle-light candidate generator for exact top-k over unbounded
+    // distinct-key universes (see HeavyHitters).
+    "heavy_hitters" -> { case Seq(e, mm) => new HeavyHitters(e, mm) },
 
     // ---- madlib vector interop (udf-builtins.h:558) → ArrayType ops ----
     "madlib_vector" -> { es => CreateArray(es.map(Cast(_, DoubleType))) },

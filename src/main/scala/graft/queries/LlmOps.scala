@@ -1205,6 +1205,53 @@ object LlmOps {
     ORDER BY freq DESC, token
     LIMIT 100"""
 
+  /** Vocabulary top-k via a bounded sketch + exact re-count — the 100 TB
+    * path for the same answer. `qVocabTopk`'s exact groupBy must shuffle
+    * one partial count per distinct token per map task; under Heaps' law
+    * the distinct-token universe grows with the corpus, so that exchange
+    * grows with the data even though only 100 rows matter. Here:
+    *
+    *   pass 1 (map-only + bounded exchange): a Misra-Gries summary of
+    *     capacity m — each task keeps an m-entry map, the single-group
+    *     final merge sees (tasks × m) rows — plus exact N.
+    *   pass 2 (candidates only): broadcast the ≤ m candidate tokens as a
+    *     semi-join filter and exact-count JUST those; the groupBy's
+    *     exchange now carries ≤ m keys per task no matter the corpus.
+    *
+    * The result is EXACT, not approximate — and provably so at runtime:
+    * every returned count must exceed the MG containment bound
+    * (N − retained)/(m+1), the maximum frequency a non-candidate token can
+    * hide with (`assert_true`, fail-loud; with m=4096 ≫ k=100 a natural-
+    * language corpus clears it by orders of magnitude — see
+    * HeavyHittersSpec for the bound arithmetic and the adversarial case
+    * where the assert correctly fires). Same oracle as `q_vocab_topk`. */
+  def qVocabTopkApprox(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.parallelized(Tables.load(spark, dir, "documents"))
+    val m = 4096
+    val tokens = docs
+      .select(explode(split(lower(col("text")), "[^a-z0-9']+")).as("token"))
+      .filter(length(col("token")) > 0)
+    val summary = tokens.agg(
+        call_function("heavy_hitters", col("token"), lit(m)).as("hh"),
+        count(lit(1)).as("n"))
+      .select(
+        col("hh"),
+        ((col("n") - aggregate(col("hh"), lit(0L), (acc, s) => acc + s.getField("est")))
+          / (m + 1.0)).as("eps"))
+    val cands = summary.select(explode(col("hh")).as("s"), col("eps"))
+      .select(col("s.item").as("token"), col("eps"))
+    tokens.join(broadcast(cands), Seq("token"), "inner")
+      .groupBy(col("token"), col("eps"))
+      .agg(count(lit(1)).as("freq"))
+      .orderBy(col("freq").desc, col("token"))
+      .limit(100)
+      // fail loud if the sketch cannot certify exactness (assert_true
+      // yields NULL when the predicate holds, so the filter passes rows)
+      .filter(coalesce(assert_true(col("freq") > col("eps"),
+        lit("heavy_hitters capacity too small to certify exact top-k")), lit(true)))
+      .select(col("token"), col("freq"))
+  }
+
   /** URL/email scrubbing (the PII normalization pass): the dirty text is
     * constructed deterministically from doc_id so the replacement paths
     * actually fire, then scrubbed with cross-engine-safe regexes. */

@@ -35,13 +35,14 @@ HEAVY = [
     # dedup family
     "q_dedup_exact", "q_dedup_lines", "q_dedup_minhash", "q_dedup_ngram",
     "q_dedup_simhash", "q_dedup_components", "q_dedup_cosine",
-    "q_dedup_cosine_ivf", "q_contamination",
+    "q_dedup_cosine_ivf", "q_contamination", "q_dedup_substring",
     # similarity search
     "q_sim_search", "q_sim_search_lsh", "q_sim_search_ivf",
     "q_sim_search_q8", "q_sim_search_q8_raw",
     # text / pipeline ops
     "q_pipeline_e2e", "q_split_leakage_safe", "q_text_stats",
     "q_rep_filters", "q_quality_filter", "q_mix_weighted", "q_vocab_topk",
+    "q_vocab_topk_approx",
     "q_pack", "q_chunk", "q_text_scrub", "q_text_fingerprints",
     "q_sessionize",
     # relational control group
