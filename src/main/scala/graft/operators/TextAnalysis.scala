@@ -241,6 +241,76 @@ object TextAnalysis {
       .orderBy(col("freq").desc, col("token"))
       .limit(k)
 
+  /** Exact vocabulary top-k through a bounded Misra-Gries sketch — the
+    * scale path for [[vocabulary]]. Two passes over the token stream:
+    * (1) a capacity-m `heavy_hitters` summary plus the exact token count
+    * N (single-group aggregate: one bounded map per task, the exchange
+    * carries tasks × m rows — never the distinct-token universe);
+    * (2) an exact re-count of JUST the ≤ m candidates behind a broadcast
+    * join, so the second exchange carries ≤ m keys per task.
+    *
+    * The output is certified exact at runtime, not trusted: with
+    * eps = (N − Σ retained est)/(m+1) — the largest true frequency a
+    * token ABSENT from the summary can have (MG containment bound) — the
+    * result is provably the true top-k iff
+    *
+    *   eps == 0                      (no decrement ever happened: the
+    *                                  summary IS the exact universe), or
+    *   k rows returned AND min(freq) > eps   (every returned count beats
+    *                                  anything a non-candidate could hide).
+    *
+    * The certification row is produced by a global aggregate over the
+    * front (always exactly one row, even when the candidate front is
+    * EMPTY — a per-row assert would vacuously pass on rows that don't
+    * exist, which is precisely the near-uniform regime where MG merges
+    * legitimately cancel to an empty summary) and re-enters the plan as a
+    * zero-row union branch carrying `assert_true`: certifiable runs drop
+    * it, uncertifiable runs fail the query instead of returning a
+    * silently short or skewed top-k. */
+  def vocabularyCertified(docs: org.apache.spark.sql.DataFrame, textCol: String,
+      k: Int, m: Int): org.apache.spark.sql.DataFrame = {
+    // no m >= k requirement: the certification is sound for any m > 0
+    // (an undersized m simply can't certify and fails loud)
+    require(k > 0 && m > 0, s"need positive k and m, got k=$k m=$m")
+    val tokens = docs
+      .select(explode(split(lower(col(textCol)), "[^a-z0-9']+")).as("token"))
+      .filter(length(col("token")) > 0)
+    val summary = tokens.agg(
+        call_function("heavy_hitters", col("token"), lit(m)).as("hh"),
+        count(lit(1)).as("n"))
+      .select(
+        col("hh"),
+        ((col("n") - aggregate(col("hh"), lit(0L), (acc, s) => acc + s.getField("est")))
+          / (m + 1.0)).as("eps"))
+    val msg = lit("heavy_hitters capacity too small to certify exact top-k")
+    // Certification splits across the two rows that ALWAYS exist where
+    // they're needed (assert_true is NULL when the predicate holds, so
+    // coalesce(..., true) keeps the row; a violated predicate throws):
+    //  - the 1-row summary asserts eps == 0 OR ≥ k candidates BEFORE the
+    //    explode — this is the only place the empty/short-candidate
+    //    regime is visible (MG merges legitimately cancel to an empty
+    //    summary on near-uniform streams; a per-row assert on the front
+    //    would vacuously pass on rows that don't exist — caught under
+    //    local-cluster, where 32 partial buffers produced exactly that),
+    //  - every front row asserts freq > eps — and when eps > 0 the front
+    //    has exactly k rows (each of the ≥ k candidates came from the
+    //    stream, so the join yields ≥ k groups), so "all k beat anything
+    //    a non-candidate could hide" is fully checked row-by-row.
+    val cands = summary
+      .filter(coalesce(assert_true(
+        col("eps") === 0.0 || size(col("hh")) >= k, msg), lit(true)))
+      .select(explode(col("hh")).as("s"), col("eps"))
+      .select(col("s.item").as("token"), col("eps"))
+    tokens.join(broadcast(cands), Seq("token"), "inner")
+      .groupBy(col("token"), col("eps"))
+      .agg(count(lit(1)).as("freq"))
+      .orderBy(col("freq").desc, col("token"))
+      .limit(k)
+      .filter(coalesce(assert_true(
+        col("eps") === 0.0 || col("freq") > col("eps"), msg), lit(true)))
+      .select(col("token"), col("freq"))
+  }
+
   /** Budgeted contiguous packing (the step after chunking: assign chunks
     * to fixed-token-budget training batches). Within each partition group,
     * rows are taken in `order` and batch k covers the rows whose EXCLUSIVE

@@ -1218,38 +1218,16 @@ object LlmOps {
     *     semi-join filter and exact-count JUST those; the groupBy's
     *     exchange now carries ≤ m keys per task no matter the corpus.
     *
-    * The result is EXACT, not approximate — and provably so at runtime:
-    * every returned count must exceed the MG containment bound
-    * (N − retained)/(m+1), the maximum frequency a non-candidate token can
-    * hide with (`assert_true`, fail-loud; with m=4096 ≫ k=100 a natural-
-    * language corpus clears it by orders of magnitude — see
-    * HeavyHittersSpec for the bound arithmetic and the adversarial case
-    * where the assert correctly fires). Same oracle as `q_vocab_topk`. */
+    * The result is EXACT, not approximate — certified at runtime by
+    * `TextAnalysis.vocabularyCertified` (fail-loud when the sketch can't
+    * prove no non-candidate token could enter the top k; with m=4096 ≫
+    * k=100 a natural-language corpus certifies by orders of magnitude —
+    * see HeavyHittersSpec for the bound arithmetic and the adversarial
+    * cases where the assert correctly fires). Same oracle as
+    * `q_vocab_topk`. */
   def qVocabTopkApprox(spark: SparkSession, dir: String): DataFrame = {
     val docs = Tables.parallelized(Tables.load(spark, dir, "documents"))
-    val m = 4096
-    val tokens = docs
-      .select(explode(split(lower(col("text")), "[^a-z0-9']+")).as("token"))
-      .filter(length(col("token")) > 0)
-    val summary = tokens.agg(
-        call_function("heavy_hitters", col("token"), lit(m)).as("hh"),
-        count(lit(1)).as("n"))
-      .select(
-        col("hh"),
-        ((col("n") - aggregate(col("hh"), lit(0L), (acc, s) => acc + s.getField("est")))
-          / (m + 1.0)).as("eps"))
-    val cands = summary.select(explode(col("hh")).as("s"), col("eps"))
-      .select(col("s.item").as("token"), col("eps"))
-    tokens.join(broadcast(cands), Seq("token"), "inner")
-      .groupBy(col("token"), col("eps"))
-      .agg(count(lit(1)).as("freq"))
-      .orderBy(col("freq").desc, col("token"))
-      .limit(100)
-      // fail loud if the sketch cannot certify exactness (assert_true
-      // yields NULL when the predicate holds, so the filter passes rows)
-      .filter(coalesce(assert_true(col("freq") > col("eps"),
-        lit("heavy_hitters capacity too small to certify exact top-k")), lit(true)))
-      .select(col("token"), col("freq"))
+    TextAnalysis.vocabularyCertified(docs, "text", 100, 4096)
   }
 
   /** URL/email scrubbing (the PII normalization pass): the dirty text is

@@ -68,37 +68,46 @@ class HeavyHittersSpec extends SparkSpec {
   test("q_vocab_topk_approx equals the exact q_vocab_topk on the real corpus") {
     val dir = "/root/testdata/sf0.001"
     val exact = graft.queries.LlmOps.qVocabTopk(spark, dir)
-      .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+      .collect().map(r => (r.getString(0), r.getLong(1)))
     val approx = graft.queries.LlmOps.qVocabTopkApprox(spark, dir)
-      .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
-    assert(approx === exact)
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+    assert(approx.length === exact.length)
+    assert(approx.toSet === exact.toSet)
   }
+
+  private def messages(t: Throwable): Seq[String] =
+    Option(t).toSeq.flatMap(x => Option(x.getMessage).toSeq ++ messages(x.getCause))
 
   test("fail-loud: a capacity too small to certify exactness raises instead of returning wrong rows") {
     import spark.implicits._
-    // near-uniform universe far above the capacity: the k-th exact count
-    // cannot clear the containment bound, so the runtime assert must fire
+    // near-uniform universe far above the capacity: no candidate's exact
+    // count can clear the containment bound — and depending on partition
+    // layout the MG merges may cancel to an EMPTY summary (all counts at
+    // the subtraction threshold), so the certification must fire from the
+    // always-present cert row, not from per-row asserts that vacuously
+    // pass when the front has no rows (caught under local-cluster, where
+    // 32 partial buffers produced exactly that empty-summary regime).
     val docs = (0 until 4000).map(i => (i.toLong, s"u$i v${i % 2000} w${(i * 7) % 2000}"))
       .toDF("doc_id", "text")
-    val tokens = docs.select(explode(split(lower(col("text")), "[^a-z0-9']+")).as("token"))
-      .filter(length(col("token")) > 0)
-    val m = 8
-    val summary = tokens.agg(
-        call_function("heavy_hitters", col("token"), lit(m)).as("hh"),
-        count(lit(1)).as("n"))
-      .select(col("hh"),
-        ((col("n") - aggregate(col("hh"), lit(0L), (acc, s) => acc + s.getField("est")))
-          / (m + 1.0)).as("eps"))
-    val cands = summary.select(explode(col("hh")).as("s"), col("eps"))
-      .select(col("s.item").as("token"), col("eps"))
-    val gated = tokens.join(broadcast(cands), Seq("token"), "inner")
-      .groupBy(col("token"), col("eps")).agg(count(lit(1)).as("freq"))
-      .orderBy(col("freq").desc, col("token")).limit(5)
-      .filter(coalesce(assert_true(col("freq") > col("eps"), lit("uncertifiable")), lit(true)))
-    val e = intercept[Exception] { gated.collect() }
-    def messages(t: Throwable): Seq[String] =
-      Option(t).toSeq.flatMap(x => Option(x.getMessage).toSeq ++ messages(x.getCause))
-    assert(messages(e).exists(_.contains("uncertifiable")), e.toString)
+    for (m <- Seq(5, 8, 64)) {
+      val gated = graft.operators.TextAnalysis.vocabularyCertified(docs, "text", m.min(5), m)
+      val e = intercept[Exception] { gated.collect() }
+      assert(messages(e).exists(_.contains("certify")), s"m=$m: ${e.toString}")
+    }
+  }
+
+  test("certification accepts the exact-regime edge: universe within capacity, fewer rows than k") {
+    import spark.implicits._
+    // 12 distinct tokens, k=100 > distinct: eps == 0 (no decrement ever
+    // happened), so a short result is provably exact and must NOT raise.
+    val docs = (0 until 600).map(i => (i.toLong, s"a${i % 12} a${i % 3}"))
+      .toDF("doc_id", "text")
+    val got = graft.operators.TextAnalysis.vocabularyCertified(docs, "text", 100, 64)
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+    val want = graft.operators.TextAnalysis.vocabulary(docs, "text", 100)
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+    assert(got.toSet === want.toSet)
+    assert(got.length === 12)
   }
 
   test("plan: partial ObjectHashAggregate — the exchange carries bounded summaries, not tokens") {
