@@ -132,19 +132,22 @@ final class CacheAdvisor {
 
   /** LRU eviction order for a resident set that exceeds `budgetBytes`:
     * drop least-recently-seen first until the remainder fits — the
-    * reference's cache-mgr eviction walk. Unknown paths (never recorded)
-    * are treated as coldest and evict first. */
+    * reference's cache-mgr eviction walk. Paths the ledger never recorded
+    * have UNKNOWN size, so their contribution to the resident total is
+    * unverifiable: counting them as 0 would let a 10 GB unknown resident
+    * "fit" any budget and the walk would evict nothing. They are evicted
+    * unconditionally (an unseen path is infinitely cold — there is no
+    * recorded evidence it is worth keeping) and the LRU walk then runs on
+    * the known remainder, whose sizes are facts. */
   def evictions(resident: Seq[String], budgetBytes: Long): Seq[String] = synchronized {
-    val byRecency = resident.sortBy { p =>
-      ledger.get(p).map(_.lastSeen).getOrElse(Long.MinValue)
-    }
-    var total = resident.map(p => ledger.get(p).map(_.bytes).getOrElse(0L)).sum
-    val out = mutable.ArrayBuffer[String]()
-    val it = byRecency.iterator
+    val (unknown, known) = resident.partition(p => ledger.get(p).isEmpty)
+    var total = known.map(ledger(_).bytes).sum
+    val out = mutable.ArrayBuffer[String](unknown: _*)
+    val it = known.sortBy(ledger(_).lastSeen).iterator
     while (total > budgetBytes && it.hasNext) {
       val p = it.next()
       out += p
-      total -= ledger.get(p).map(_.bytes).getOrElse(0L)
+      total -= ledger(p).bytes
     }
     out.toSeq
   }

@@ -73,8 +73,13 @@ object Tables {
     * longer dodge the floor. */
   def parallelized(df: DataFrame): DataFrame = {
     val cores = df.sparkSession.sparkContext.defaultParallelism
-    if (df.rdd.getNumPartitions >= cores * 2) return df
-    if (leafBytes(df) >= 4L * 1024 * 1024) df.repartition(cores) else df
+    val parts = df.rdd.getNumPartitions
+    if (parts >= cores * 2) return df
+    // floor, never a ceiling: in the ambiguous band (cores <= parts <
+    // 2*cores) the exchange exists to redistribute possibly-phantom
+    // splits, not to NARROW genuinely parallel ones — repartition(cores)
+    // here would cut a 48-working-split scan to 32 tasks on 32 cores
+    if (leafBytes(df) >= 4L * 1024 * 1024) df.repartition(math.max(cores, parts)) else df
   }
 
   /** Actual bytes behind a plan's source leaves: file-index sizes for

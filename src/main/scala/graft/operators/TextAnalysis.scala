@@ -234,9 +234,15 @@ object TextAnalysis {
     * map-side partials → TakeOrderedAndProject: the shuffle carries one
     * (token, partial-count) pair per distinct token per partition, and
     * top-k never materializes a full sort at the driver. */
-  def vocabulary(docs: org.apache.spark.sql.DataFrame, textCol: String, k: Int): org.apache.spark.sql.DataFrame =
+  /** The one tokenizer both vocabulary paths share — [[vocabularyCertified]]
+    * certifies equality with [[vocabulary]], which is only meaningful if
+    * they tokenize identically. */
+  private def tokenStream(docs: org.apache.spark.sql.DataFrame, textCol: String) =
     docs.select(explode(split(lower(col(textCol)), "[^a-z0-9']+")).as("token"))
       .filter(length(col("token")) > 0)
+
+  def vocabulary(docs: org.apache.spark.sql.DataFrame, textCol: String, k: Int): org.apache.spark.sql.DataFrame =
+    tokenStream(docs, textCol)
       .groupBy(col("token")).agg(count(lit(1)).as("freq"))
       .orderBy(col("freq").desc, col("token"))
       .limit(k)
@@ -272,9 +278,7 @@ object TextAnalysis {
     // no m >= k requirement: the certification is sound for any m > 0
     // (an undersized m simply can't certify and fails loud)
     require(k > 0 && m > 0, s"need positive k and m, got k=$k m=$m")
-    val tokens = docs
-      .select(explode(split(lower(col(textCol)), "[^a-z0-9']+")).as("token"))
-      .filter(length(col("token")) > 0)
+    val tokens = tokenStream(docs, textCol)
     val summary = tokens.agg(
         call_function("heavy_hitters", col("token"), lit(m)).as("hh"),
         count(lit(1)).as("n"))

@@ -69,6 +69,10 @@ class CacheAdvisorSpec extends SparkSpec {
     assert(evicted.headOption.contains(liPath))
     // unknown resident path is coldest of all
     assert(adv.evictions("unknown" +: both, 0).head === "unknown")
+    // ... and evicts even under a generous budget: its size is UNKNOWN,
+    // so the budget cannot be certified while it stays resident (counting
+    // it as 0 bytes would let a huge unrecorded resident "fit" anything)
+    assert(adv.evictions("unknown" +: both, totalBytes) === Seq("unknown"))
   }
 
   test("applying the advice pays off: the repeat run hits InMemoryTableScan") {

@@ -90,8 +90,21 @@ class ParallelizedGateSpec extends SparkSpec {
       val planned = banded.rdd.getNumPartitions
       assert(planned * 2 >= cores && planned < cores * 2,
         s"setup: planned splits should land in the ambiguous band, got $planned on $cores cores")
-      assert(Tables.parallelized(banded).rdd.getNumPartitions === cores,
-        "an ambiguous-band scan over a multi-MB source must be floored to cores")
+      assert(Tables.parallelized(banded).rdd.getNumPartitions === math.max(cores, planned),
+        "an ambiguous-band scan over a multi-MB source must be floored to cores " +
+          "WITHOUT narrowing a scan that already plans more than cores")
+
+      // floor, not ceiling: planned in (cores, 2*cores) keeps its width —
+      // repartition(cores) here would CUT working parallelism on a scan
+      // whose splits are all genuine
+      spark.conf.set("spark.sql.files.maxPartitionBytes",
+        (bytes / (cores + cores / 2) + 1).toString)
+      val wide = spark.read.parquet(dir).select(col("id"))
+      val plannedW = wide.rdd.getNumPartitions
+      if (plannedW > cores && plannedW < cores * 2) {
+        assert(Tables.parallelized(wide).rdd.getNumPartitions === plannedW,
+          "the floor must never reduce partition count in the ambiguous band")
+      }
 
       // abundance: planned >= 2x cores — the at-scale regime; unchanged
       spark.conf.set("spark.sql.files.maxPartitionBytes", (bytes / (3 * cores) + 1).toString)

@@ -61,7 +61,7 @@ Usage:
                         [--out /tmp/fuzz] [--skip-engine] [--corpus-only]
 Exit 0 iff every query hash-matches.
 """
-import argparse, hashlib, json, os, random, subprocess, sys
+import argparse, hashlib, json, os, random, re, subprocess, sys
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 from check import table_sig  # the driver-calibrated comparator
@@ -1178,10 +1178,12 @@ class WriteGen(Gen):
                              dtype=self.TYPE_MAP[kind][1]))
         return cols
 
-    def src_select(self, t, cols, null_part_col=None):
-        """SELECT feeding an INSERT: single-table filtered projection in
-        target-column order; optionally NULLIF-wraps one column so NULL
-        partition/general NULL handling is exercised."""
+    def select_parts(self, t, cols, null_part_col=None):
+        """(select_list, from_where_tail) for an INSERT-feeding SELECT —
+        kept as PARTS so callers composing variants (the statpart oracle
+        appends a partition literal to the select list) never have to
+        re-split the SQL text on " FROM ", which would miscut if a sampled
+        string literal ever contained that substring."""
         scope = {t: TABLES[t]}
         pred = self.predicate(scope, depth=1)
         parts = []
@@ -1196,7 +1198,14 @@ class WriteGen(Gen):
             # expressions (Spark keeps the cast child's name, DuckDB the
             # full expression text), and CTAS turns those into schema
             parts.append(f"{e} AS {c['alias']}")
-        return f"SELECT {', '.join(parts)} FROM {t} WHERE {pred}"
+        return ", ".join(parts), f"FROM {t} WHERE {pred}"
+
+    def src_select(self, t, cols, null_part_col=None):
+        """SELECT feeding an INSERT: single-table filtered projection in
+        target-column order; optionally NULLIF-wraps one column so NULL
+        partition/general NULL handling is exercised."""
+        sel, tail = self.select_parts(t, cols, null_part_col)
+        return f"SELECT {sel} {tail}"
 
     def values_rows(self, t, cols, n_rows):
         rows = []
@@ -1266,12 +1275,12 @@ class WriteGen(Gen):
             oset.append(f"INSERT INTO {tbl} {body}")
             if kind == "statpart":
                 pv = self.lit_of(t, pcol["src"], "str")
-                body2 = self.src_select(t, cols[:-1])
+                sel2, tail2 = self.select_parts(t, cols[:-1])
                 setup.append(
-                    f"INSERT OVERWRITE TABLE {tbl} PARTITION (p={pv}) {body2}")
+                    f"INSERT OVERWRITE TABLE {tbl} PARTITION (p={pv}) "
+                    f"SELECT {sel2} {tail2}")
                 oset.append(f"DELETE FROM {tbl} WHERE p = {pv}")
-                sel = body2.split(" FROM ", 1)
-                oset.append(f"INSERT INTO {tbl} {sel[0]}, {pv} FROM {sel[1]}")
+                oset.append(f"INSERT INTO {tbl} SELECT {sel2}, {pv} {tail2}")
         probe = f"SELECT * FROM {tbl}"
         return dict(kind=kind, setup=setup, sql=probe,
                     teardown=[f"DROP TABLE IF EXISTS {tbl}"],
@@ -1297,7 +1306,11 @@ def gen_corpus(seed, n, sf_dir, dialect=False, write=False, nested=False):
         script = None
         if write:
             script = g.script()
-            sql, oracle = tuple(script["setup"]), None
+            # dedup key must normalize the per-script table name
+            # (fz_w{seed}_{counter} is unique every call, so raw setup
+            # tuples NEVER collide and the dedup would be dead code)
+            sql, oracle = tuple(
+                re.sub(r"fz_w\d+_\d+", "<T>", s) for s in script["setup"]), None
         elif dialect or nested:
             sql, oracle = g.query_pair()
         else:
