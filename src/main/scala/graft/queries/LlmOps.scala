@@ -1230,6 +1230,68 @@ object LlmOps {
     TextAnalysis.vocabularyCertified(docs, "text", 100, 4096)
   }
 
+  /** Seed queries for the BM25 entry: multi-term probes over the corpus
+    * vocabulary with distinct df profiles (rare + common terms mixed). */
+  private val bm25Queries = Seq(
+    1 -> "spark window agg",
+    2 -> "fast scan filter",
+    3 -> "customer query join",
+    4 -> "vector stream group sort",
+    5 -> "hash merge batch")
+
+  /** BM25 top-k retrieval (seed-relevance ranking for targeted corpus
+    * upsampling) — see [[TextAnalysis]]'s lexical stats family and
+    * `operators/Retrieval.scala` for the scale shape. The oracle
+    * re-derives the full kernel (tokenize, tf/df/dl/avgdl, the decimal
+    * per-term scores, the exact decimal sum, ranking) in SQL. */
+  def qBm25TopK(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.parallelized(Tables.load(spark, dir, "documents"))
+    graft.operators.Retrieval.bm25TopK(docs, "text", "doc_id", bm25Queries, 10)
+  }
+
+  val qBm25TopKSql: String = """
+    WITH toks AS (
+      SELECT doc_id,
+             list_filter(string_split_regex(lower(text), '[^a-z0-9'']+'),
+                         t -> length(t) > 0) AS toks
+      FROM documents
+    ), dls AS (
+      SELECT doc_id, len(toks) AS dl FROM toks
+    ), stats AS (
+      SELECT COUNT(*) AS n, CAST(SUM(dl) AS DOUBLE) / COUNT(*) AS avgdl FROM dls
+    ), q(query_id, qtext) AS (
+      VALUES (1, 'spark window agg'), (2, 'fast scan filter'),
+             (3, 'customer query join'), (4, 'vector stream group sort'),
+             (5, 'hash merge batch')
+    ), qterms AS (
+      SELECT DISTINCT query_id, t.token
+      FROM q, unnest(string_split_regex(lower(qtext), '[^a-z0-9'']+')) AS t(token)
+      WHERE length(t.token) > 0
+    ), tf AS (
+      SELECT t.token, x.doc_id, len(x.toks) AS dl, COUNT(*) AS tf
+      FROM toks x, unnest(x.toks) AS t(token)
+      WHERE t.token IN (SELECT DISTINCT token FROM qterms)
+      GROUP BY 1, 2, 3
+    ), dfs AS (
+      SELECT token, COUNT(*) AS df FROM tf GROUP BY 1
+    ), scored AS (
+      SELECT qt.query_id, tf.doc_id,
+             SUM(CAST(ln(1.0 + ((s.n - dfs.df) + 0.5) / (dfs.df + 0.5)) *
+                 ((tf.tf * 2.2) / (tf.tf + 1.2 * (0.25 + 0.75 * tf.dl / s.avgdl)))
+                 AS DECIMAL(28,6))) AS score
+      FROM tf
+      JOIN dfs USING (token)
+      JOIN qterms qt USING (token)
+      CROSS JOIN stats s
+      GROUP BY 1, 2
+    )
+    SELECT query_id, doc_id, rank, score FROM (
+      SELECT query_id, doc_id, score,
+             ROW_NUMBER() OVER (PARTITION BY query_id
+                                ORDER BY score DESC, doc_id) AS rank
+      FROM scored)
+    WHERE rank <= 10"""
+
   /** URL/email scrubbing (the PII normalization pass): the dirty text is
     * constructed deterministically from doc_id so the replacement paths
     * actually fire, then scrubbed with cross-engine-safe regexes. */

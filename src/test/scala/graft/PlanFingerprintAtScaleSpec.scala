@@ -50,7 +50,7 @@ class PlanFingerprintAtScaleSpec extends SparkSpec {
     "q_sim_search_q8", "q_sim_search_q8_raw",
     "q_pipeline_e2e", "q_split_leakage_safe", "q_text_stats",
     "q_rep_filters", "q_quality_filter", "q_mix_weighted", "q_vocab_topk",
-    "q_vocab_topk_approx",
+    "q_vocab_topk_approx", "q_bm25_topk",
     "q_pack", "q_chunk", "q_text_scrub", "q_text_fingerprints",
     "q_sessionize",
     "q1_agg", "q3_join", "q9_profit", "q18_large_orders",

@@ -42,7 +42,7 @@ HEAVY = [
     # text / pipeline ops
     "q_pipeline_e2e", "q_split_leakage_safe", "q_text_stats",
     "q_rep_filters", "q_quality_filter", "q_mix_weighted", "q_vocab_topk",
-    "q_vocab_topk_approx",
+    "q_vocab_topk_approx", "q_bm25_topk",
     "q_pack", "q_chunk", "q_text_scrub", "q_text_fingerprints",
     "q_sessionize",
     # relational control group
