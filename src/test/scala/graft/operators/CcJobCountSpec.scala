@@ -41,22 +41,26 @@ class CcJobCountSpec extends SparkSpec {
     ids.size()
   }
 
-  test("each propagation round is one driver action, not three") {
+  test("hooking rounds and compression passes each ride one driver action") {
     import spark.implicits._
-    // diameter-11 chain: pointer jumping needs several real rounds plus
-    // the final no-op round, so a per-round regression multiplies visibly
+    // diameter-11 monotone chain: ONE hooking round merges everything
+    // (every root hooks to its smaller neighbor), compression flattens
+    // the depth-11 hook chain by doubling, and the second hooking round
+    // observes the fixpoint
     val chain = (1L to 12L).toDF("id")
     val pairs = (1L until 12L).map(i => (i, i + 1)).toDF("id_a", "id_b")
     val actions = countActions {
       Dedup.connectedComponents(chain, pairs)
     }
-    // Budget: 2 eager-checkpoint actions for edges+labels init, then ONE
-    // localCheckpoint action per round (≤5 rounds for this fixture: 4
-    // propagation rounds + the no-op fixpoint round). The old shape —
-    // checkpoint nbrMin, convergence count, checkpoint labels — measured
-    // ~3 actions/round and must fail this bound.
-    assert(actions <= 2 + 5,
-      s"connectedComponents ran $actions driver actions for a ~5-round " +
-        "fixture — did the convergence check stop riding the update job?")
+    // Budget: 2 eager-checkpoint actions for edges+labels init, 2 hooking
+    // rounds (merge-all + no-op fixpoint), and ≤5 compression passes
+    // (depth 11 → 4 doubling passes + the flat-confirming pass). Every
+    // action carries its convergence/flatness tick on the SAME job — a
+    // separate count() per round would blow this bound immediately (the
+    // pre-r7 shape measured ~3 actions/round).
+    assert(actions <= 2 + 2 + 5,
+      s"connectedComponents ran $actions driver actions for a " +
+        "2-round + 5-compression fixture — did a convergence check stop " +
+        "riding the update job?")
   }
 }

@@ -244,17 +244,21 @@ class LlmOpsSpec extends SparkSpec {
     val labels = Dedup.connectedComponents(chain, chainPairs)
       .collect().map(r => (r.getLong(0), r.getLong(1)))
     assert(labels.forall(_._2 == 1L))
-    // a diameter beyond the propagation reach must fail loud, not
-    // return split clusters (12-chain can't be OBSERVED converged in 3)
+    // a component needing more rounds than maxIter must fail loud, not
+    // return split clusters. A monotone chain collapses in one hooking
+    // round (compression flattens it), so the hard fixture is a path
+    // with PERMUTED ids: trees merge basin-by-basin, ~log rounds.
+    val perm = new scala.util.Random(7).shuffle((1L to 64L).toVector)
+    val permChain = perm.toDF("id")
+    val permPairs = (0 until 63).map(i => (perm(i), perm(i + 1))).toDF("id_a", "id_b")
     val e = intercept[IllegalStateException] {
-      Dedup.connectedComponents(chain, chainPairs, maxIter = 3)
+      Dedup.connectedComponents(permChain, permPairs, maxIter = 2)
     }
     assert(e.getMessage.contains("did not converge"))
-    // pointer jumping: a 64-node chain (diameter 63) converges in
-    // O(log n) rounds — a plain one-hop propagation would need 63
-    val longChain = (1L to 64L).toDF("id")
-    val longPairs = (1L until 64L).map(i => (i, i + 1)).toDF("id_a", "id_b")
-    val longLabels = Dedup.connectedComponents(longChain, longPairs, maxIter = 10)
+    // root hooking: the same 64-node permuted path (diameter 63,
+    // adversarial id placement) converges in O(log n) rounds — plain
+    // one-hop propagation would need ~63
+    val longLabels = Dedup.connectedComponents(permChain, permPairs, maxIter = 10)
       .collect().map(_.getLong(1))
     assert(longLabels.forall(_ == 1L))
   }
