@@ -40,7 +40,11 @@ class PlanHygieneSpec extends SparkSpec {
     "q_join_cross", "q_sim_search", "q_sim_search_lsh", "q_sim_search_ivf",
     "q_dedup_cosine", "q_dedup_cosine_ivf", "q_ds88_multicount",
     "q_ds61_promo_ratio", "q_sim_search_ivf_raw",
-    "q_sim_search_q8", "q_sim_search_q8_raw")
+    "q_sim_search_q8", "q_sim_search_q8_raw",
+    // BM25 attaches the 1-row (N, avgdl) corpus-stats aggregate to the
+    // scored rows via crossJoin(broadcast(...)) — the same bounded
+    // broadcast-build shape as the ANN query sides above
+    "q_bm25_topk")
 
   /** Entries whose GLOBAL (unpartitioned) window is the design:
     * q_sim_search_lsh / q_sim_search_ivf — annGatedExact's recall window
