@@ -74,15 +74,18 @@ object Retrieval {
     // tf over query terms ONLY: the broadcast join prunes the exploded
     // stream before the groupBy, so non-matching tokens never shuffle.
     // dl rides in the grouping key (functionally dependent on doc_id).
-    // Persisted: both the scoring join and the df aggregate consume it,
-    // and re-deriving its lineage would re-scan + re-tokenize the CORPUS
-    // — the boundary itself is only (matched term, doc) rows, orders of
-    // magnitude smaller than the corpus it summarizes.
+    // Both the scoring join and the df aggregate consume tf, but the two
+    // subtrees are canonically identical below the tf exchange, so
+    // ReuseExchange computes the corpus scan + tokenize ONCE and both
+    // branches read the same shuffle output (verified in the AQE-final
+    // plan: one ReusedExchange, single corpus scan). No persist: an
+    // unreleased MEMORY_AND_DISK cache here leaked blocks for the
+    // SparkContext lifetime across soak iterations (r10 ADVICE), and the
+    // reuse gives the same single-scan property for free.
     val tf = toks.select(col("doc_id"), col("dl"), explode(col("toks")).as("token"))
       .join(broadcast(terms), Seq("token"))
       .groupBy(col("token"), col("doc_id"), col("dl"))
       .agg(count(lit(1)).as("tf"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
 
     val dfs = tf.groupBy(col("token")).agg(count(lit(1)).as("df"))
 

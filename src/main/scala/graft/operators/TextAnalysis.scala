@@ -265,13 +265,15 @@ object TextAnalysis {
     *   k rows returned AND min(freq) > eps   (every returned count beats
     *                                  anything a non-candidate could hide).
     *
-    * The certification row is produced by a global aggregate over the
-    * front (always exactly one row, even when the candidate front is
-    * EMPTY — a per-row assert would vacuously pass on rows that don't
-    * exist, which is precisely the near-uniform regime where MG merges
-    * legitimately cancel to an empty summary) and re-enters the plan as a
-    * zero-row union branch carrying `assert_true`: certifiable runs drop
-    * it, uncertifiable runs fail the query instead of returning a
+    * The certification rides the plan as two row-preserving
+    * `filter(coalesce(assert_true(...), true))` guards (assert_true is
+    * NULL — kept by the coalesce — when the predicate holds, and throws
+    * when it doesn't): one on the 1-row summary aggregate (the only place
+    * an EMPTY candidate front is visible — a per-row assert would
+    * vacuously pass on rows that don't exist, precisely the near-uniform
+    * regime where MG merges legitimately cancel to an empty summary) and
+    * one on every returned front row. Certifiable runs pass through
+    * unchanged; uncertifiable runs fail the query instead of returning a
     * silently short or skewed top-k. */
   def vocabularyCertified(docs: org.apache.spark.sql.DataFrame, textCol: String,
       k: Int, m: Int): org.apache.spark.sql.DataFrame = {

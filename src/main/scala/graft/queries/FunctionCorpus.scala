@@ -120,7 +120,7 @@ object FunctionCorpus {
              is_nan(l_quantity * CAST('NaN' AS DOUBLE)) AS nan
       FROM lineitem
       WHERE l_orderkey <= 300
-      ORDER BY l_orderkey, l_linenumber""")
+      ORDER BY l_orderkey, l_linenumber, hx, a, ce, fl, sg, sq, pm, md, qu, gr, le, tc, inf, nan""")
 
   val qFnMathSql: String = """
       SELECT l_orderkey, l_linenumber,
@@ -140,7 +140,11 @@ object FunctionCorpus {
              isnan(l_quantity * CAST('NaN' AS DOUBLE)) AS nan
       FROM lineitem
       WHERE l_orderkey <= 300
-      ORDER BY l_orderkey, l_linenumber"""
+      -- (l_orderkey, l_linenumber) is NOT a key in the synthetic lineitem
+      -- (duplicate pairs with distinct partkeys/prices — r11 OrderAudit);
+      -- the value tiebreakers make the order total: rows tied on ALL of
+      -- them are identical, so any delivery order hashes the same
+      ORDER BY l_orderkey, l_linenumber, hx, a, ce, fl, sg, sq, pm, md, qu, gr, le, tc, inf, nan"""
 
   // ------------------------------------------------------------------ cast
   // Impala-style cast semantics under ansi=false (reference:
@@ -237,7 +241,10 @@ object FunctionCorpus {
              CAST(CAST(d_qty3 AS DECIMAL(20,5)) AS $strTy)                      AS dwiden,
              CAST(CAST(-d_price AS DECIMAL(14,2)) AS $strTy)                    AS dneg
       FROM $decimalSrc
-      ORDER BY l_orderkey, l_linenumber"""
+      -- every output column is a tiebreaker: (l_orderkey, l_linenumber) is
+      -- not a key in the synthetic lineitem (r11 OrderAudit), and rows
+      -- tied on ALL columns are identical — hash-safe in any order
+      ORDER BY l_orderkey, l_linenumber, dadd, dsub, dmul, dmod, dstr, dwiden, dneg"""
 
   def qFnDecimal(spark: SparkSession, dir: String): DataFrame =
     run(spark, dir, qFnDecimalBody("STRING"))
@@ -275,7 +282,7 @@ object FunctionCorpus {
              ${dec("qm * 100", 5)}         AS dwiden,
              ('-' || ${dec("pc", 2)})      AS dneg
       FROM c
-      ORDER BY l_orderkey, l_linenumber"""
+      ORDER BY l_orderkey, l_linenumber, dadd, dsub, dmul, dmod, dstr, dwiden, dneg"""
   }
 
   // ------------------------------------------------------------- timestamp

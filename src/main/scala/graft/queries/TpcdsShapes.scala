@@ -324,7 +324,12 @@ $blocks"""
     WHERE sa.l_suppkey = sb.l_suppkey
       AND sa.l_suppkey = s_suppkey AND sa.l_partkey = p_partkey
       AND CAST(CAST(sa.revenue AS STRING) AS DOUBLE) <= 0.1 * sb.ave
-    ORDER BY s_name, p_name
+    -- revenue/ave tiebreakers: p_name collides across partkeys in the
+    -- synthetic corpus, so (s_name, p_name) alone is not a key — two
+    -- low-seller rows for the same (supplier, part name) ordered
+    -- engine-arbitrarily flipped the order-sensitive hash (caught by the
+    -- r11 order-sensitive check.py; the driver had passed it by luck)
+    ORDER BY s_name, p_name, revenue, ave
     LIMIT 100"""
 
   /** TPC-DS Q89 shape: window deviation screen — grouped star join with

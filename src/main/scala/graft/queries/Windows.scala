@@ -104,7 +104,13 @@ object Windows {
         last(col("l_extendedprice")).over(
           ord.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)).as("last_price"),
         count(lit(1)).over(ord.rowsBetween(Window.unboundedPreceding, Window.currentRow)).as("running_n"))
-      .orderBy(col("l_orderkey"), col("l_linenumber"))
+      // running_n completes the OUTPUT key the same way the extra window
+      // keys above complete the frame order: (l_orderkey, l_linenumber)
+      // alone leaves duplicate pairs order-ambiguous between engines
+      // (r11 OrderAudit: 1161 tie groups at sf0.001), but running_n is the
+      // 1..n position under the total in-partition order, so
+      // (l_orderkey, running_n) is a row key on any layout.
+      .orderBy(col("l_orderkey"), col("running_n"))
   }
 
   /** Analytic functions beyond the reference's set (ntile/percent_rank/
@@ -153,5 +159,5 @@ object Windows {
     WHERE l_orderkey <= 2000
     WINDOW w AS (PARTITION BY l_orderkey ORDER BY l_linenumber ASC, l_partkey ASC,
                  l_suppkey ASC, l_extendedprice ASC, l_quantity ASC, l_discount ASC)
-    ORDER BY l_orderkey, l_linenumber"""
+    ORDER BY l_orderkey, running_n"""
 }

@@ -1,28 +1,24 @@
 package graft
 
-import org.scalatest.funsuite.AnyFunSuite
-
 /** Static contract between the driver-facing maps: every catalog entry
   * must carry a DuckDB oracle (a key typo in `oracleSql` would silently
   * demote the entry to the driver's weaker rows-only check — exactly the
-  * regression this spec exists to catch), and no oracle may point at a
-  * nonexistent query. */
-class SparkEntryContractSpec extends AnyFunSuite {
-
-  /** The deliberate rows-only entries: raw ANN candidate paths whose
-    * bucket contents DuckDB can't derive — their gated twins
-    * (q_sim_search_lsh/ivf) carry the hash-checked oracle. Anything else
-    * missing an oracle is a typo this spec exists to catch. */
-  private val rowsOnlyByDesign =
-    Set("q_sim_search_lsh_raw", "q_sim_search_ivf_raw", "q_sim_search_q8_raw")
+  * regression this spec exists to catch), no oracle may point at a
+  * nonexistent query, and every entry's OUTPUT ORDER must be
+  * deterministic (the driver's hash is order-sensitive, so a value-
+  * correct entry without a total output order flips red whenever the
+  * partition delivery order shifts — the r10 `q_bm25_topk` red cell). */
+class SparkEntryContractSpec extends SparkSpec {
 
   test("queries and oracleSql cover the same entry names") {
     val q = SparkEntry.queries.keySet
     val o = SparkEntry.oracleSql.keySet
     assert((o -- q).isEmpty, s"oracles without a query: ${(o -- q).toSeq.sorted}")
-    assert((q -- o -- rowsOnlyByDesign).isEmpty,
-      s"queries without an oracle: ${(q -- o -- rowsOnlyByDesign).toSeq.sorted}")
-    assert((rowsOnlyByDesign -- q).isEmpty, "rows-only allowlist names a missing query")
+    // No rows-only allowlist anymore: the last holdouts (raw ANN candidate
+    // paths) became certified entries in r11 — structural assert_true
+    // guards in-plan, the (query, rank) grid + TRUE flags as the oracle.
+    assert((q -- o).isEmpty,
+      s"queries without an oracle: ${(q -- o).toSeq.sorted}")
   }
 
   // semicolons inside single-quoted literals (regex char classes etc.)
@@ -62,5 +58,23 @@ class SparkEntryContractSpec extends AnyFunSuite {
       assert(sql.trim.nonEmpty, s"$name has an empty oracle")
       assert(!bareSemicolon(sql), s"$name oracle contains multiple statements")
     }
+  }
+
+  /** Shape half of the order contract: every entry's plan must end in a
+    * global Sort (under order-preserving wrappers), a ≤1-row aggregate, or
+    * LIMIT 0 — anything else hands the driver's order-sensitive hash
+    * whatever order the scheduler delivered that day. The DATA half (sort
+    * keys actually forming a row key — ds65's near-miss) is
+    * OrderAuditSpec / graft.plans.OrderAudit. */
+  test("every catalog entry's plan ends in a deterministic output order") {
+    val sfDir = "/root/testdata/sf0.001"
+    spark.catalog.clearCache()
+    val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap { case (name, fn) =>
+      val plan = fn(spark, sfDir).queryExecution.analyzed
+      if (graft.plans.OrderAudit.deterministicOrderShape(plan)) None else Some(name)
+    }
+    assert(offenders.isEmpty,
+      s"entries without a total output order (append .orderBy on a key of " +
+        s"the result, and ORDER BY to the oracle): $offenders")
   }
 }

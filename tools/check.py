@@ -6,7 +6,11 @@ Usage: python3 tools/check.py <verify_out_dir> <sf_dir> [query ...]
 Reads <verify_out_dir>/<name>/ parquet (Spark output) and oracle_sql.json,
 runs each oracle SQL in DuckDB against the sf parquet tables, and compares:
 row count, column names (sorted), arrow TYPES per column, and a
-type-tagged value hash with columns sorted by name and rows sorted.
+type-tagged value hash with columns sorted by name and rows in DELIVERED
+order (round-11 hardening: the driver's hash is order-sensitive, and the
+old row-sort here is exactly what let the r10 q_bm25_topk red cell ship —
+value-identical rows, nondeterministic order, local PASS / driver FAIL.
+Every entry carries a total ORDER BY, so delivered order must agree).
 
 STRICT by design (round-3 hardening): the round-2 version stripped tzinfo,
 collapsed -0.0 and ignored arrow types, which hid exactly the deltas the
@@ -66,7 +70,6 @@ def table_sig(tbl: pa.Table):
     for i in range(tbl.num_rows):
         rows.append("\x01".join(
             types[c] + "\x02" + norm_cell(data[c][i], ftypes[c]) for c in cols))
-    rows.sort()
     h = hashlib.sha256()
     for r in rows: h.update(r.encode()); h.update(b"\n")
     return h.hexdigest(), cols, types, tbl.num_rows, rows
