@@ -34,25 +34,33 @@ object Tables {
     * scale — many files / many row groups, splits >> cores — this is a
     * no-op and the plan is unchanged.
     *
-    * Why an abundance margin and not "splits >= cores/2": planned
-    * byte-range splits OVERSTATE a parquet scan's working parallelism in
-    * two ways the r10 distinct-corpus soak measured, both on a 72 MB /
-    * 10-row-group file that planned ~18 splits (>= cores/2, so the old
-    * gate skipped the exchange on 32 cores):
+    * WORKING splits, not planned splits (r11, closing the r10 gate's
+    * 2x-cores ambiguity): planned byte-range splits OVERSTATE a parquet
+    * scan's working parallelism in two ways the r10 distinct-corpus soak
+    * measured, both on a 72 MB / 10-row-group file that planned ~18
+    * splits:
     *  - rows materialize only in the split containing each ROW GROUP's
     *    midpoint, so 18 planned splits were 10 working tasks and the
     *    fused regex-stats stage ran 10-wide (q_text_stats sf3d→sf10d
-    *    alpha 1.59 — sf3d planned 5 splits, tripped the floor, and ran
-    *    32-wide, FASTER per byte than the bigger corpus);
+    *    alpha 1.59);
     *  - a pushed-down filter prunes row groups by their min/max stats,
     *    so a bounded slice (doc_id < 50000) left ONE working row group
     *    and the whole by-gram kernel ran on one core
     *    (q_dedup_components 18.9s→83.5s on a slice of IDENTICAL size).
-    * Counting working splits pre-execution would mean reading footers
-    * and re-implementing row-group pruning; the margin buys the same
-    * protection for one cheap exchange of the (by construction small)
-    * source in the ambiguous band, and leaves genuinely parallel scans
-    * — splits >= 2x cores, the only at-scale regime — untouched.
+    * The r10 gate bought protection with an abundance margin (skip only
+    * when planned >= 2x cores) — which over-exchanged scans whose row
+    * groups genuinely abound (a pure tax in the cores..2x band) and
+    * still MISSED the phantom-abundant shape (70 planned splits over a
+    * one-row-group file sail past any planned-count bar). This gate
+    * reads the truth instead: row-group counts from the parquet FOOTERS
+    * of the scan's files (one footer read per file, cached — a metadata
+    * walk, not a scan). Working parallelism = min(planned splits,
+    * row groups); that is exact for an unfiltered scan, so the floor
+    * skips exactly when working >= cores. Footer counts still can't see
+    * FILTER pruning (re-implementing min/max row-group pruning is the
+    * non-goal it was in r10), so a plan with a Filter keeps the 2x
+    * abundance margin on the row-group count — pruning may cut working
+    * groups further, and the margin is the insurance.
     *
     * Call it AFTER slicing/selecting (pushdown happens at the scan,
     * below the exchange) and only ahead of compute-heavy projections:
@@ -68,18 +76,59 @@ object Tables {
     * column pruning and CBO guesses, and the q8 index build at sf1 sat
     * UNDER the old 4 MB estimate gate while its one-row-group file sat
     * well over it — the heavy fused quantization stage ran on one core
-    * (inverted scaling, caught by the curve). FileIndex sizes are facts,
-    * not estimates; an un-ANALYZE'd or projection-shrunk source can no
-    * longer dodge the floor. */
+    * (inverted scaling, caught by the curve). FileIndex sizes and footer
+    * row-group counts are facts, not estimates. */
   def parallelized(df: DataFrame): DataFrame = {
-    val cores = df.sparkSession.sparkContext.defaultParallelism
+    val spark = df.sparkSession
+    val cores = spark.sparkContext.defaultParallelism
     val parts = df.rdd.getNumPartitions
-    if (parts >= cores * 2) return df
-    // floor, never a ceiling: in the ambiguous band (cores <= parts <
-    // 2*cores) the exchange exists to redistribute possibly-phantom
-    // splits, not to NARROW genuinely parallel ones — repartition(cores)
-    // here would cut a 48-working-split scan to 32 tasks on 32 cores
+    // min(planned, row groups): each row group materializes rows in
+    // exactly one split, and a split materializes at most the groups
+    // whose midpoints it contains — None (non-parquet/local leaves)
+    // falls back to the planned count, the pre-r11 behavior
+    val working = sourceRowGroups(df).fold(parts.toLong)(math.min(parts.toLong, _))
+    // a Filter anywhere in the plan may prune row groups at the scan
+    // (footer min/max stats), invisibly to the footer count — demand
+    // abundance; an unfiltered count is exact, so cores suffice
+    val hasFilter = df.queryExecution.optimizedPlan
+      .find(_.isInstanceOf[org.apache.spark.sql.catalyst.plans.logical.Filter]).isDefined
+    val need = if (hasFilter) 2L * cores else cores.toLong
+    if (working >= need) return df
+    // floor, never a ceiling: repartition(cores) would cut a
+    // 48-working-split scan to 32 tasks on 32 cores
     if (leafBytes(df) >= 4L * 1024 * 1024) df.repartition(math.max(cores, parts)) else df
+  }
+
+  // Footer reads are pure metadata (file immutable within a run); cache by
+  // path so each file pays one footer read per JVM.
+  private val rowGroupCache = new java.util.concurrent.ConcurrentHashMap[String, Long]()
+
+  /** Total parquet row groups behind the plan's file-scan leaves, from
+    * the file FOOTERS (a metadata read, not a scan). None when any leaf
+    * is not a parquet file scan (local/cached relations, other formats) —
+    * callers then fall back to planned-split counts. */
+  private[graft] def sourceRowGroups(df: DataFrame): Option[Long] = {
+    val leaves = df.queryExecution.optimizedPlan.collectLeaves()
+    val conf = df.sparkSession.sessionState.newHadoopConf()
+    val counts = leaves.map {
+      case lr: org.apache.spark.sql.execution.datasources.LogicalRelation =>
+        lr.relation match {
+          case fs: org.apache.spark.sql.execution.datasources.HadoopFsRelation
+              if fs.fileFormat.isInstanceOf[
+                org.apache.spark.sql.execution.datasources.parquet.ParquetFileFormat] =>
+            Some(fs.location.inputFiles.map { p =>
+              rowGroupCache.computeIfAbsent(p, path => {
+                val in = org.apache.parquet.hadoop.util.HadoopInputFile
+                  .fromPath(new org.apache.hadoop.fs.Path(path), conf)
+                val r = org.apache.parquet.hadoop.ParquetFileReader.open(in)
+                try r.getRowGroups.size.toLong finally r.close()
+              })
+            }.sum)
+          case _ => None
+        }
+      case _ => None
+    }
+    if (counts.nonEmpty && counts.forall(_.isDefined)) Some(counts.flatten.sum) else None
   }
 
   /** Actual bytes behind a plan's source leaves: file-index sizes for
