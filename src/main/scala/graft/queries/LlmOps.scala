@@ -121,6 +121,46 @@ object LlmOps {
     FROM documents d LEFT JOIN rep r USING (doc_id)
     ORDER BY doc_id"""
 
+  /** Production-family minhash clusters, driver-gated (closes the r10
+    * gap: `Dedup.minhashClusters` — the xxhash64 path users actually run,
+    * slimmer shuffles, no hex strings — was only spec-checked while the
+    * md5-portable twin carried the oracle). Runs BOTH kernels over the
+    * gate corpus and asserts row-level equality in-plan: any divergence
+    * (different rep, different is_dup, or a row missing on either side —
+    * nulls coalesce to FALSE so a lost row cannot slip past assert_true's
+    * null-pass) fails the query loudly. The emitted rows are the agreed
+    * cluster view plus a `families_agree` flag the DuckDB oracle (the
+    * portable CTE chain, which DuckDB can derive) pins TRUE. Cost is both
+    * kernels once — the price of gating the production path with an
+    * external oracle that cannot compute xxhash64. */
+  def qDedupMinhashProd(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.parallelized(Tables.load(spark, dir, "documents"))
+    val prod = Dedup.minhashClusters(docs, "text", "doc_id")
+    val port = Dedup.minhashClustersPortable(docs, "text", "doc_id")
+    prod.as("p").join(port.as("q"), Seq("doc_id"), "full_outer")
+      .withColumn("families_agree", coalesce(
+        col("p.rep_id") === col("q.rep_id") && col("p.is_dup") === col("q.is_dup"),
+        lit(false)))
+      .filter(coalesce(
+        assert_true(col("families_agree"), concat(
+          lit("minhash families diverged at doc "), col("doc_id"),
+          lit(": prod rep "), col("p.rep_id"), lit(" vs portable rep "),
+          col("q.rep_id"))),
+        lit(true)))
+      .select(col("doc_id"), col("q.rep_id").as("rep_id"),
+        col("q.is_dup").as("is_dup"), col("families_agree"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** Oracle: the portable cluster chain (the only family an external
+    * engine can re-derive) with the agreement flag pinned TRUE. */
+  val qDedupMinhashProdSql: String = s"""
+    WITH ${minhashClusterCtes("documents", "text")}
+    SELECT d.doc_id, COALESCE(r.rep_id, d.doc_id) AS rep_id,
+           r.rep_id IS NOT NULL AS is_dup, TRUE AS families_agree
+    FROM documents d LEFT JOIN rep r USING (doc_id)
+    ORDER BY doc_id"""
+
   /** n-gram Jaccard dedup: exact char-trigram jaccard over all pairs of a
     * BOUNDED modulo-sampled doc slice (the oracle-checkable verification
     * kernel; at scale the pair source is LSH candidates, not all-pairs).
