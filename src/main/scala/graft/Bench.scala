@@ -9,16 +9,39 @@ import java.nio.file.{Files, Paths}
   * Failures are recorded in a separate "failed" map and excluded from the
   * summed total — a broken query must not corrupt the headline metric.
   *
-  * After the sweep, the N slowest entries (SPARK_GRAFT_ISOLATE_N, default
-  * 8) are re-timed in isolation and reported under "isolated" alongside
-  * their sweep numbers. Driver benches have ghosted three rounds running
-  * (r5 q18, r6 window cluster, r7 q_pack) — transient machine contention
-  * reading as plan regressions until triple re-runs adjudicated them by
-  * hand. The paired numbers make that adjudication automatic: an entry
-  * whose isolated time sits at its historical level while the sweep
-  * number spiked was contention, not a regression.
+  * After the sweep, entries are re-timed in isolation and reported under
+  * "isolated" alongside their sweep numbers. Driver benches have ghosted
+  * three rounds running (r5 q18, r6 window cluster, r7 q_pack) — transient
+  * machine contention reading as plan regressions until triple re-runs
+  * adjudicated them by hand. The paired numbers make that adjudication
+  * automatic: an entry whose isolated time sits at its historical level
+  * while the sweep number spiked was contention, not a regression.
+  *
+  * Isolation set (r11, closing the r10 attribution gap where the driver's
+  * close sweep ran the identical commit 37% slower and only the 6 worst
+  * offenders got isolated numbers): the N sweep-slowest entries
+  * (SPARK_GRAFT_ISOLATE_N, default 8), PLUS every entry whose sweep
+  * exceeds 0.5s, PLUS every entry whose sweep exceeds 1.5x its last
+  * COMMITTED number (bench_committed.json, the builder's round-close
+  * sweep — override with SPARK_GRAFT_BASELINE). Every number a human
+  * would squint at therefore ships with its contention-free twin;
+  * `tools/bench_diff.py` consumes the pair for round-over-round
+  * attribution.
   */
 object Bench {
+
+  /** Last committed per-entry sweep numbers (the "queries" map of a prior
+    * bench_result.json). Missing/unparseable file → empty: the bench then
+    * isolates on its own-run evidence only. */
+  private[graft] def loadBaseline(path: String): Map[String, Double] =
+    try {
+      val txt = new String(Files.readAllBytes(Paths.get(path)))
+      val block = """"queries"\s*:\s*\{([^}]*)\}""".r
+        .findFirstMatchIn(txt).map(_.group(1)).getOrElse("")
+      """"([^"]+)"\s*:\s*([0-9.Ee+-]+)""".r.findAllMatchIn(block)
+        .map(m => m.group(1) -> m.group(2).toDouble).toMap
+    } catch { case _: Exception => Map.empty }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
@@ -72,11 +95,21 @@ object Bench {
           failed(name) = Option(e.getMessage).getOrElse(e.getClass.getName).take(200)
       }
     }
-    // isolated re-timing of the sweep's slowest entries (best of 2 — the
-    // min is the contention-free estimate)
+    // isolated re-timing (best of 2 — the min is the contention-free
+    // estimate): the slowest N, everything over 0.5s, and everything that
+    // regressed >= 1.5x against the last committed sweep
     val isolated = scala.collection.mutable.LinkedHashMap[String, Double]()
     val nIso = sys.env.getOrElse("SPARK_GRAFT_ISOLATE_N", "8").toInt
-    times.toSeq.sortBy(-_._2).take(nIso).foreach { case (name, _) =>
+    val baseline = loadBaseline(
+      sys.env.getOrElse("SPARK_GRAFT_BASELINE", "bench_committed.json"))
+    val bySweepDesc = times.toSeq.sortBy(-_._2)
+    val isolateSet = (
+      bySweepDesc.take(nIso).map(_._1) ++
+        bySweepDesc.filter(_._2 > 0.5).map(_._1) ++
+        bySweepDesc.collect { case (n, t)
+          if baseline.get(n).exists(b => t > b * 1.5) => n }
+    ).distinct
+    isolateSet.foreach { name =>
       val fn = SparkEntry.queries(name)
       try {
         // same hygiene as the sweep: clear, one untimed run to rebuild any
@@ -126,8 +159,15 @@ object Bench {
     val sf = try { BigDecimal(sfTag).toString }
              catch { case _: NumberFormatException => "\"" + sfTag + "\"" }
     val rs = resweep.map("\"" + _ + "\"").mkString("[", ",", "]")
+    // entries still >= 1.5x their last committed sweep AFTER adjudication
+    // (sweep replaced by min(sweep, isolated)): real regression candidates
+    // for tools/bench_diff.py, not contention
+    val regressed = times.collect { case (n, t)
+      if baseline.get(n).exists(b =>
+        math.min(t, isolated.getOrElse(n, t)) > b * 1.5) => "\"" + n + "\""
+    }.mkString("[", ",", "]")
     val json =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"isolated":$iso,"resweep":$rs,"failed":$fs,"sf":$sf}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"isolated":$iso,"resweep":$rs,"baseline_regressed":$regressed,"failed":$fs,"sf":$sf}"""
     Files.writeString(Paths.get("bench_result.json"), json + "\n")
     println(json)
     spark.stop()

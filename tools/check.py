@@ -61,7 +61,11 @@ def norm_cell(v, t: pa.DataType):
         return str(v)  # tz-aware renders with offset; naive without — intended
     return str(v)
 
-def table_sig(tbl: pa.Table):
+def table_sig(tbl: pa.Table, sort_rows=True):
+    """sort_rows=True (the fuzz comparator: probes carry no ORDER BY, row
+    order is legitimately engine-specific); the catalog gate below passes
+    False — the driver's hash is order-sensitive and every catalog entry
+    carries a total ORDER BY, so delivered order must agree."""
     cols = sorted(tbl.column_names)
     types = {c: norm_type(tbl.schema.field(c).type) for c in cols}
     data = {c: tbl.column(c).to_pylist() for c in cols}
@@ -70,6 +74,8 @@ def table_sig(tbl: pa.Table):
     for i in range(tbl.num_rows):
         rows.append("\x01".join(
             types[c] + "\x02" + norm_cell(data[c][i], ftypes[c]) for c in cols))
+    if sort_rows:
+        rows.sort()
     h = hashlib.sha256()
     for r in rows: h.update(r.encode()); h.update(b"\n")
     return h.hexdigest(), cols, types, tbl.num_rows, rows
@@ -108,8 +114,8 @@ def main():
             dtbl = con.execute(sql).fetch_arrow_table()
         except Exception as e:
             print(f"FAIL {name}: duckdb error: {e}"); n_fail += 1; continue
-        sh, scols, stypes, sn, srows = table_sig(stbl)
-        dh, dcols, dtypes, dn, drows = table_sig(dtbl)
+        sh, scols, stypes, sn, srows = table_sig(stbl, sort_rows=False)
+        dh, dcols, dtypes, dn, drows = table_sig(dtbl, sort_rows=False)
         if scols != dcols:
             print(f"FAIL {name}: cols spark={scols} duck={dcols}"); n_fail += 1
         elif stypes != dtypes:

@@ -1287,30 +1287,189 @@ class WriteGen(Gen):
                     oracle_setup=oset, oracle_sql=probe)
 
 
-def gen_corpus(seed, n, sf_dir, dialect=False, write=False, nested=False):
+class DdlGen(WriteGen):
+    # rev 1 = first DDL-sequence grammar (round 11)
+    GRAMMAR_REV = 1
+
+    """DDL-sequence grammar (v5): CREATE [PARTITIONED] -> ALTER (add
+    columns / rename table / add+drop partitions / tblproperties /
+    analyze) -> INSERT -> DESCRIBE/SHOW -> probe, as statement SEQUENCES
+    (the reference's AnalyzerTest/ParserTest breadth over sql-parser.y,
+    exercised as catalog-lifecycle fuzz rather than curated specs).
+
+    DuckDB models the CATALOG SEMANTICS, not the storage:
+      - ADD COLUMNS -> ADD COLUMN: pre-existing rows read NULL in both
+        (Spark: missing parquet column; DuckDB: fill-NULL).
+      - RENAME TO is common syntax.
+      - ADD PARTITION is content-neutral (an empty partition has no
+        rows) -> no-op; DROP PARTITION (p=v) -> DELETE WHERE p = v,
+        exactly the reference's drop-partition semantics.
+      - TBLPROPERTIES / ANALYZE / SHOW / DESCRIBE mid-sequence are
+        engine-only (content-neutral); their non-failure IS the check.
+      - the probe is either SELECT * (content semantics) or, on
+        non-partitioned tables, DESCRIBE itself — the generator KNOWS the
+        expected post-ALTER schema and synthesizes the oracle as VALUES
+        (col_name, data_type, comment), so schema evolution is
+        hash-checked, not just non-crashing.
+
+    Column-position trap, by construction: after ADD COLUMNS on a
+    partitioned table Spark's schema is (data cols.., new cols.., p)
+    while DuckDB's is creation-order + appended — positional INSERTs
+    would diverge silently, so every post-CREATE INSERT carries an
+    explicit column list and the comparator's by-name column sort does
+    the rest."""
+
+    DESC_TYPE = {"BIGINT": "bigint", "DOUBLE": "double", "STRING": "string"}
+
+    def script(self):
+        t = self.pick([x for x in TABLES if TABLES[x]["strs"]])
+        cols = self.target_cols(t)
+        tbl = f"fz_d{self.seed}_{self.counter}"
+        self.counter += 1
+        partitioned = self.rng.random() < 0.4
+        # engine-side schema tracker: list of (name, engine_type) in
+        # Spark's display order — data cols first, partition col LAST
+        schema = [(c["alias"], c["etype"]) for c in cols]
+        setup, oset = [f"DROP TABLE IF EXISTS {tbl}"], [f"DROP TABLE IF EXISTS {tbl}"]
+        pcol = None
+        if partitioned:
+            pcol = dict(kind="str", src=self.pick(TABLES[t]["strs"]),
+                        alias="p", etype="STRING", dtype="VARCHAR")
+            ddl_e = ", ".join(f"{c['alias']} {c['etype']}" for c in cols + [pcol])
+            ddl_d = ", ".join(f"{c['alias']} {c['dtype']}" for c in cols + [pcol])
+            setup.append(
+                f"CREATE TABLE {tbl} ({ddl_e}) USING parquet PARTITIONED BY (p)")
+            oset.append(f"CREATE TABLE {tbl} ({ddl_d})")
+            schema.append(("p", "STRING"))
+        else:
+            ddl_e = ", ".join(f"{c['alias']} {c['etype']}" for c in cols)
+            ddl_d = ", ".join(f"{c['alias']} {c['dtype']}" for c in cols)
+            setup.append(f"CREATE TABLE {tbl} ({ddl_e}) USING parquet")
+            oset.append(f"CREATE TABLE {tbl} ({ddl_d})")
+
+        def insert_now(cur_name):
+            """INSERT with an explicit column list covering the FULL
+            current schema (added cols get literals / NULL)."""
+            names = [n for n, _ in schema]
+            sel, tail = self.select_parts(t, cols)
+            extras = []
+            for n, ty in schema:
+                if n == "p" or any(c["alias"] == n for c in cols):
+                    continue
+                if self.rng.random() < 0.3:
+                    extras.append(f"CAST(NULL AS {ty}) AS {n}")
+                elif ty == "STRING":
+                    extras.append(f"'x{len(extras)}' AS {n}")
+                else:
+                    extras.append(f"CAST({self.rng.randrange(100)} AS {ty}) AS {n}")
+            parts = [sel] + extras
+            if partitioned:
+                # p last in the engine schema; reorder the select to the
+                # explicit list order (data cols, added cols, p)
+                psel = f"{t}.{pcol['src']} AS p"
+                parts = parts + [psel]
+            collist = ", ".join(
+                [c["alias"] for c in cols] +
+                [n for n, _ in schema
+                 if n != "p" and not any(c["alias"] == n for c in cols)] +
+                (["p"] if partitioned else []))
+            stmt = f"INSERT INTO {tbl_ref[0]} ({collist}) SELECT {', '.join(parts)} {tail}"
+            setup.append(stmt); oset.append(stmt)
+
+        tbl_ref = [tbl]  # current name (RENAME TO mutates it)
+        insert_now(tbl)
+
+        n_ops = self.rng.randrange(2, 5)
+        zi = 0
+        for _ in range(n_ops):
+            op = self.pick(["addcol", "insert", "tblprops", "analyze",
+                            "rename", "partops", "show"])
+            cur = tbl_ref[0]
+            if op == "addcol":
+                ty = self.pick(["BIGINT", "DOUBLE", "STRING"])
+                name = f"z{zi}"; zi += 1
+                setup.append(f"ALTER TABLE {cur} ADD COLUMNS ({name} {ty})")
+                oset.append(
+                    f"ALTER TABLE {cur} ADD COLUMN {name} "
+                    f"{'VARCHAR' if ty == 'STRING' else ty}")
+                # Spark displays added cols after data cols, before p
+                if partitioned:
+                    schema.insert(len(schema) - 1, (name, ty))
+                else:
+                    schema.append((name, ty))
+            elif op == "insert":
+                insert_now(cur)
+            elif op == "tblprops":
+                setup.append(
+                    f"ALTER TABLE {cur} SET TBLPROPERTIES ('graft.fuzz'='1')")
+                setup.append(f"SHOW TBLPROPERTIES {cur}")
+            elif op == "analyze":
+                setup.append(f"ANALYZE TABLE {cur} COMPUTE STATISTICS")
+            elif op == "rename" and cur == tbl:  # at most one rename
+                new = f"{tbl}_r"
+                setup.append(f"ALTER TABLE {cur} RENAME TO {new}")
+                oset.append(f"ALTER TABLE {cur} RENAME TO {new}")
+                tbl_ref[0] = new
+            elif op == "partops" and partitioned:
+                lit = self.lit_of(t, pcol["src"], "str")
+                setup.append(
+                    f"ALTER TABLE {cur} ADD IF NOT EXISTS PARTITION (p='zz_empty')")
+                if self.rng.random() < 0.6:
+                    setup.append(
+                        f"ALTER TABLE {cur} DROP IF EXISTS PARTITION (p={lit})")
+                    oset.append(f"DELETE FROM {cur} WHERE p = {lit}")
+                setup.append(f"SHOW PARTITIONS {cur}")
+            elif op == "show":
+                setup.append(self.pick(
+                    [f"DESCRIBE {cur}", f"SHOW COLUMNS IN {cur}",
+                     f"SHOW CREATE TABLE {cur}"]))
+
+        cur = tbl_ref[0]
+        if not partitioned and self.rng.random() < 0.4:
+            # schema probe: DESCRIBE vs the generator's tracked schema
+            kind = "ddl_describe"
+            probe = f"DESCRIBE {cur}"
+            rows = ", ".join(
+                f"('{n}', '{self.DESC_TYPE[ty]}', CAST(NULL AS VARCHAR))"
+                for n, ty in schema)
+            oracle = (f"SELECT * FROM (VALUES {rows}) "
+                      f"AS d(col_name, data_type, comment)")
+        else:
+            kind = "ddl_content"
+            probe = f"SELECT * FROM {cur}"
+            oracle = probe
+        return dict(kind=kind, setup=setup, sql=probe,
+                    teardown=[f"DROP TABLE IF EXISTS {tbl}",
+                              f"DROP TABLE IF EXISTS {tbl}_r"],
+                    oracle_setup=oset, oracle_sql=oracle)
+
+
+def gen_corpus(seed, n, sf_dir, dialect=False, write=False, nested=False,
+               ddl=False):
     con = duckdb.connect()
     for t in TABLES:
         con.execute(f"CREATE VIEW {t} AS SELECT * FROM "
                     f"read_parquet('{sf_dir}/{t}.parquet')")
     verify_unique(con)
-    cls = (WriteGen if write else NestedGen if nested
+    scripted = write or ddl
+    cls = (DdlGen if ddl else WriteGen if write else NestedGen if nested
            else DialectGen if dialect else Gen)
     g = (cls(random.Random(seed), sample_literals(con, sf_dir),
              probe=lambda q: con.execute(q).fetchall(), seed=seed)
-         if write else
+         if scripted else
          cls(random.Random(seed), sample_literals(con, sf_dir),
              probe=lambda q: con.execute(q).fetchall()))
     out, seen = [], set()
     i = 0
     while len(out) < n:
         script = None
-        if write:
+        if scripted:
             script = g.script()
             # dedup key must normalize the per-script table name
-            # (fz_w{seed}_{counter} is unique every call, so raw setup
+            # (fz_[wd]{seed}_{counter} is unique every call, so raw setup
             # tuples NEVER collide and the dedup would be dead code)
             sql, oracle = tuple(
-                re.sub(r"fz_w\d+_\d+", "<T>", s) for s in script["setup"]), None
+                re.sub(r"fz_[wd]\d+_\d+", "<T>", s) for s in script["setup"]), None
         elif dialect or nested:
             sql, oracle = g.query_pair()
         else:
@@ -1319,7 +1478,7 @@ def gen_corpus(seed, n, sf_dir, dialect=False, write=False, nested=False):
         if sql in seen:
             continue
         seen.add(sql)
-        if write:
+        if scripted:
             rec = {"name": f"f{seed}_{len(out):04d}", **{
                 k: v for k, v in script.items()},
                 "sf": os.path.basename(os.path.normpath(sf_dir)),
@@ -1366,6 +1525,10 @@ def main():
     ap.add_argument("--nested", action="store_true",
                     help="nested-type grammar (v4): array/map/struct/JSON "
                          "expressions vs a flat-truth DuckDB oracle")
+    ap.add_argument("--ddl", action="store_true",
+                    help="DDL-sequence grammar (v5): CREATE/ALTER/INSERT/"
+                         "DESCRIBE/SHOW lifecycle scripts with DuckDB "
+                         "modeling the catalog semantics")
     ap.add_argument("--replay", metavar="CORPUS_JSONL",
                     help="skip generation and re-validate a committed "
                          "frozen corpus (e.g. src/test/resources/fuzz/"
@@ -1388,7 +1551,7 @@ def main():
               f"{a.replay} at {a.sf}")
     else:
         corpus = gen_corpus(a.seed, a.n, a.sf, dialect=a.dialect,
-                            write=a.write, nested=a.nested)
+                            write=a.write, nested=a.nested, ddl=a.ddl)
     qfile = f"{a.out}/queries.jsonl"
     with open(qfile, "w") as f:
         for q in corpus:
