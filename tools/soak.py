@@ -33,7 +33,8 @@ REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 # shuffle-heaviest relational shapes as a control group.
 HEAVY = [
     # dedup family
-    "q_dedup_exact", "q_dedup_lines", "q_dedup_minhash", "q_dedup_ngram",
+    "q_dedup_exact", "q_dedup_lines", "q_dedup_minhash",
+    "q_dedup_minhash_prod", "q_dedup_ngram",
     "q_dedup_simhash", "q_dedup_components", "q_dedup_cosine",
     "q_dedup_cosine_ivf", "q_contamination", "q_dedup_substring",
     # similarity search
