@@ -78,6 +78,46 @@ class RetrievalSpec extends SparkSpec {
     assert(perQuery.values.forall(_ <= 2))
   }
 
+  test("gate grid equals the scored twin's grid; certification accepts healthy fronts") {
+    // The r12 gate entry emits only (query_id, rank, doc_id, ok) — the
+    // decimal score moved into an in-plan certified claim (cross-engine
+    // libm drift on the catalog's only ln-valued output; see qBm25TopK's
+    // doc). This pins the two shapes to the SAME ranking: a kernel change
+    // that reorders fronts must flip both or it's a twin drift bug.
+    val dir = "/root/testdata/sf0.001"
+    val gate = graft.queries.LlmOps.qBm25TopK(spark, dir)
+      .collect().map(r => (r.getAs[Number]("query_id").intValue(),
+        r.getAs[Number]("rank").intValue(), r.getAs[Number]("doc_id").longValue(),
+        r.getAs[Boolean]("ok")))
+    val scored = graft.queries.LlmOps.qBm25TopKScored(spark, dir)
+      .collect().map(r => (r.getAs[Number]("query_id").intValue(),
+        r.getAs[Number]("rank").intValue(), r.getAs[Number]("doc_id").longValue()))
+    assert(gate.forall(_._4), "every emitted row must carry a TRUE certificate")
+    assert(gate.map(t => (t._1, t._2, t._3)).toSeq === scored.toSeq)
+    assert(gate.length === 50, "5 queries x k=10 — exactly-k certified")
+  }
+
+  test("certification fails loudly on a short front") {
+    import spark.implicits._
+    // 3 matching docs < k=10: count-per-query certificate must fire the
+    // in-plan assert_true rather than emit a silently short front
+    val docs = Seq(
+      (1L, "apple banana"), (2L, "banana cherry"), (3L, "apple")).toDF("doc_id", "text")
+    import org.apache.spark.sql.expressions.Window
+    val byRank = Window.partitionBy(col("query_id")).orderBy(col("rank"))
+    val perQuery = Window.partitionBy(col("query_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    val certified = Retrieval.bm25TopK(docs, "text", "doc_id", Seq(1 -> "apple"), 10)
+      .withColumn("ok",
+        col("score") > 0 &&
+          coalesce(lag(col("score"), 1).over(byRank) >= col("score"), lit(true)) &&
+          count(lit(1)).over(perQuery) === 10 &&
+          col("rank") === row_number().over(byRank))
+      .filter(coalesce(assert_true(col("ok")), lit(true)))
+    val e = intercept[Exception](certified.collect())
+    assert(Option(e.getMessage).getOrElse(e.getCause.getMessage) != null)
+  }
+
   test("plan: bounded top-k front (no Window over scored docs), broadcast term pruning") {
     import spark.implicits._
     val docs = Seq((1L, "x y")).toDF("doc_id", "text")
