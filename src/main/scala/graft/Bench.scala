@@ -31,16 +31,23 @@ import java.nio.file.{Files, Paths}
 object Bench {
 
   /** Last committed per-entry sweep numbers (the "queries" map of a prior
-    * bench_result.json). Missing/unparseable file → empty: the bench then
-    * isolates on its own-run evidence only. */
-  private[graft] def loadBaseline(path: String): Map[String, Double] =
+    * bench_result.json) plus that run's sf tag. Missing/unparseable file →
+    * empty: the bench then isolates on its own-run evidence only. The sf
+    * tag matters (r11 ADVICE): comparing a soak-corpus sweep against the
+    * committed sf0.1 baseline flagged every entry as "regressed" and
+    * forced a full isolation pass — cross-scale times are not comparable,
+    * so the baseline only binds when the tags match. */
+  private[graft] def loadBaseline(path: String): (Map[String, Double], Option[String]) =
     try {
       val txt = new String(Files.readAllBytes(Paths.get(path)))
       val block = """"queries"\s*:\s*\{([^}]*)\}""".r
         .findFirstMatchIn(txt).map(_.group(1)).getOrElse("")
-      """"([^"]+)"\s*:\s*([0-9.Ee+-]+)""".r.findAllMatchIn(block)
+      val qs = """"([^"]+)"\s*:\s*([0-9.Ee+-]+)""".r.findAllMatchIn(block)
         .map(m => m.group(1) -> m.group(2).toDouble).toMap
-    } catch { case _: Exception => Map.empty }
+      val sf = """"sf"\s*:\s*"?([^",}\s]+)"?""".r
+        .findFirstMatchIn(txt).map(_.group(1))
+      (qs, sf)
+    } catch { case _: Exception => (Map.empty, None) }
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -100,8 +107,14 @@ object Bench {
     // regressed >= 1.5x against the last committed sweep
     val isolated = scala.collection.mutable.LinkedHashMap[String, Double]()
     val nIso = sys.env.getOrElse("SPARK_GRAFT_ISOLATE_N", "8").toInt
-    val baseline = loadBaseline(
+    val sfTag = sfDir.replaceAll(".*sf", "")
+    val (baselineAll, baselineSf) = loadBaseline(
       sys.env.getOrElse("SPARK_GRAFT_BASELINE", "bench_committed.json"))
+    // cross-scale guard: a baseline recorded at a different sf says
+    // nothing about this run — drop it rather than flag phantom
+    // regressions (and re-isolate the whole catalog) during soaks
+    val baseline =
+      if (baselineSf.forall(_ == sfTag)) baselineAll else Map.empty[String, Double]
     val bySweepDesc = times.toSeq.sortBy(-_._2)
     val isolateSet = (
       bySweepDesc.take(nIso).map(_._1) ++
@@ -155,7 +168,6 @@ object Bench {
     // IS numeric (sf0.1); non-numeric tags (soak corpora like sf1d)
     // must be quoted or the emitted line isn't JSON at all — the r10
     // soak's first run crashed its own parser on "sf":1d
-    val sfTag = sfDir.replaceAll(".*sf", "")
     val sf = try { BigDecimal(sfTag).toString }
              catch { case _: NumberFormatException => "\"" + sfTag + "\"" }
     val rs = resweep.map("\"" + _ + "\"").mkString("[", ",", "]")
@@ -168,7 +180,17 @@ object Bench {
     }.mkString("[", ",", "]")
     val json =
       s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"isolated":$iso,"resweep":$rs,"baseline_regressed":$regressed,"failed":$fs,"sf":$sf}"""
-    Files.writeString(Paths.get("bench_result.json"), json + "\n")
+    // Output path (r11 ADVICE: a killed soak run clobbered the committed
+    // driver artifact before soak.py's finally-restore could run): the
+    // repo's bench_result.json is reserved for the DRIVER corpus
+    // (/root/testdata/*); any other SF dir — soak corpora under /tmp —
+    // writes a tagged file outside the repo. SPARK_GRAFT_BENCH_OUT
+    // overrides both.
+    val outPath = sys.env.get("SPARK_GRAFT_BENCH_OUT").getOrElse {
+      if (sfDir.startsWith("/root/testdata/")) "bench_result.json"
+      else s"/tmp/bench_result_sf$sfTag.json"
+    }
+    Files.writeString(Paths.get(outPath), json + "\n")
     println(json)
     spark.stop()
   }

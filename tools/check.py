@@ -80,6 +80,40 @@ def table_sig(tbl: pa.Table, sort_rows=True):
     for r in rows: h.update(r.encode()); h.update(b"\n")
     return h.hexdigest(), cols, types, tbl.num_rows, rows
 
+def write_diff_artifact(out_dir, name, kind, detail, srows=None, drows=None,
+                        scols=None):
+    """First-diff observability (r12): every FAIL leaves <out_dir>/
+    <name>.diff.txt naming WHICH row/column/value diverged, so a red cell
+    is diagnosable from the artifact alone instead of costing a blind
+    re-derivation round (the q_bm25_topk lesson: two rounds red with no
+    way to see which cell the driver's oracle disagreed on)."""
+    lines = [f"query: {name}", f"fail: {kind}", detail]
+    if srows is not None and drows is not None:
+        shown = 0
+        for i, (a, b) in enumerate(zip(srows, drows)):
+            if a == b:
+                continue
+            acells, bcells = a.split("\x01"), b.split("\x01")
+            cols = scols or [f"c{j}" for j in range(len(acells))]
+            diffcols = [c for c, x, y in zip(cols, acells, bcells) if x != y]
+            lines.append(f"row {i} differs in columns {diffcols}:")
+            for c, x, y in zip(cols, acells, bcells):
+                if x != y:
+                    lines.append(f"  {c}: spark={x.replace(chr(2), ':')}")
+                    lines.append(f"  {c}: duck ={y.replace(chr(2), ':')}")
+            shown += 1
+            if shown >= 5:
+                lines.append("... (first 5 differing rows shown; "
+                             "tools/celldiff.py for the full dump)")
+                break
+        if len(srows) != len(drows):
+            lines.append(f"row counts: spark={len(srows)} duck={len(drows)}")
+    path = os.path.join(out_dir, f"{name}.diff.txt")
+    with open(path, "w") as f:
+        f.write("\n".join(lines) + "\n")
+    return path
+
+
 def main():
     out_dir, sf_dir = sys.argv[1], sys.argv[2]
     only = set(sys.argv[3:])
@@ -118,12 +152,17 @@ def main():
         dh, dcols, dtypes, dn, drows = table_sig(dtbl, sort_rows=False)
         if scols != dcols:
             print(f"FAIL {name}: cols spark={scols} duck={dcols}"); n_fail += 1
+            write_diff_artifact(out_dir, name, "columns",
+                                f"spark={scols} duck={dcols}")
         elif stypes != dtypes:
             diffs = [f"{c}: spark={stypes[c]} duck={dtypes[c]}"
                      for c in scols if stypes[c] != dtypes[c]]
             print(f"FAIL {name}: types differ: " + "; ".join(diffs)); n_fail += 1
+            write_diff_artifact(out_dir, name, "types", "; ".join(diffs))
         elif sn != dn:
             print(f"FAIL {name}: rows spark={sn} duck={dn}"); n_fail += 1
+            write_diff_artifact(out_dir, name, "rows",
+                                f"spark={sn} duck={dn}", srows, drows, scols)
         elif sh != dh:
             print(f"FAIL {name}: hash mismatch ({sn} rows)")
             for a, b in zip(srows, drows):
@@ -131,6 +170,10 @@ def main():
                     print(f"  spark: {a.replace(chr(1), ' | ')}")
                     print(f"  duck : {b.replace(chr(1), ' | ')}")
                     break
+            p = write_diff_artifact(out_dir, name, "hash",
+                                    f"{sn} rows, value-level divergence",
+                                    srows, drows, scols)
+            print(f"  first-diff artifact: {p}")
             n_fail += 1
         else:
             print(f"PASS {name} ({sn} rows)"); n_pass += 1

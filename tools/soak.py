@@ -54,8 +54,15 @@ HEAVY = [
 
 
 def run_sf(sf_dir, entries, out_dir):
+    # Bench writes to SPARK_GRAFT_BENCH_OUT — pointed INSIDE the soak out
+    # dir so a soak can never touch the repo's committed bench_result.json
+    # (r11: a killed run clobbered it before the finally-restore below
+    # could fire; Bench itself now also refuses to write the repo artifact
+    # for non-driver SF dirs, this is belt and braces).
+    bench_out = f"{out_dir}/bench_{tag(sf_dir)}.json"
     env = dict(os.environ, SPARK_GRAFT_SF_DIR=sf_dir,
-               SPARK_GRAFT_ISOLATE_N="0")
+               SPARK_GRAFT_ISOLATE_N="0",
+               SPARK_GRAFT_BENCH_OUT=bench_out)
     rc = subprocess.run(
         ["sbt", "-batch", "runMain graft.Bench " + " ".join(entries)],
         env=env, cwd=REPO, stdout=open(f"{out_dir}/sbt_{tag(sf_dir)}.log", "w"),
@@ -64,7 +71,7 @@ def run_sf(sf_dir, entries, out_dir):
         print(f"[soak] bench failed rc={rc} at {sf_dir} "
               f"(see {out_dir}/sbt_{tag(sf_dir)}.log)")
         sys.exit(2)
-    with open(f"{REPO}/bench_result.json") as f:
+    with open(bench_out) as f:
         return json.load(f)
 
 
