@@ -96,9 +96,45 @@ object Ddl {
   def addColumns(spark: SparkSession, table: String, colsDdl: String): Unit =
     spark.sql(s"ALTER TABLE $table ADD COLUMNS ($colsDdl)")
 
-  /** `ALTER TABLE t RENAME TO t2` passthrough. */
-  def renameTable(spark: SparkSession, table: String, to: String): Unit =
+  /** `ALTER TABLE t RENAME TO t2` — passthrough plus a partition-location
+    * repair (r12, found by the seed-56 DDL fuzz corpus): renaming a
+    * MANAGED partitioned table moves the table directory with its
+    * correctly-escaped partition subdirs intact, but the session
+    * catalog's partition metadata comes back with the escaped directory
+    * name RE-escaped (`p=Supplier%23…` on disk vs `…%252523…` in the
+    * catalog for a `#`-valued partition), so those partitions read zero
+    * rows and a later DROP PARTITION deletes the wrong path. The spec
+    * map itself survives the rename unmangled, so the repair recomputes
+    * each partition's canonical location from its spec under the new
+    * table dir and rewrites only the entries that drifted. */
+  def renameTable(spark: SparkSession, table: String, to: String): Unit = {
     spark.sql(s"ALTER TABLE $table RENAME TO $to")
+    repairPartitionLocations(spark, to)
+  }
+
+  /** Re-point every partition of a MANAGED partitioned table at the
+    * canonical `<tableDir>/<escaped spec path>` location (Hive layout —
+    * the layout Spark's own INSERT writes). No-op for unpartitioned,
+    * external, or already-consistent tables. Metadata-only: it never
+    * touches the filesystem. */
+  def repairPartitionLocations(spark: SparkSession, table: String): Unit = {
+    import org.apache.spark.sql.catalyst.catalog.{CatalogTableType, ExternalCatalogUtils}
+    import org.apache.hadoop.fs.Path
+    val cat = spark.sessionState.catalog
+    val ident = spark.sessionState.sqlParser.parseTableIdentifier(table)
+    val meta = cat.getTableMetadata(ident)
+    if (meta.partitionColumnNames.nonEmpty &&
+        meta.tableType == CatalogTableType.MANAGED) {
+      val tableDir = new Path(meta.location)
+      val drifted = cat.listPartitions(ident).flatMap { p =>
+        val want = ExternalCatalogUtils.generatePartitionPath(
+          p.spec, meta.partitionColumnNames, tableDir).toUri
+        if (p.storage.locationUri.contains(want)) None
+        else Some(p.copy(storage = p.storage.copy(locationUri = Some(want))))
+      }
+      if (drifted.nonEmpty) cat.alterPartitions(ident, drifted)
+    }
+  }
 
   /** `ALTER TABLE t DROP COLUMN c` / `REPLACE COLUMNS`: Spark's v1
     * parquet tables can't drop columns in place, but an EXTERNAL table is

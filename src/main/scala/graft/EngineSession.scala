@@ -195,9 +195,20 @@ object EngineSession {
     * RewriteDistinctAggregates can expand multi-distinct aggregates out of
     * the fallback rule's reach — so SQL behaves identically on built and
     * adopted sessions. */
+  /** Table-level rename (not RENAME COLUMN / PARTITION … RENAME TO
+    * PARTITION): the target table needs its partition metadata repaired
+    * after Spark's rename re-escapes partition paths (see
+    * [[Ddl.renameTable]]). */
+  private val TableRename =
+    """(?is)\s*ALTER\s+TABLE\s+\S+\s+RENAME\s+TO\s+([^\s(]+)\s*""".r
+
   def sql(spark: SparkSession, text: String): DataFrame = {
     import org.apache.spark.sql.catalyst.plans.logical.{Command, CommandResult}
     val df = spark.sql(Dialect.rewriteImpalaHints(text))
+    text match {
+      case TableRename(to) => Ddl.repairPartitionLocations(spark, to)
+      case _ => ()
+    }
     val appxOn = spark.conf
       .getOption(plans.AppxCountDistinctRewrite.ConfKey)
       .exists(plans.AppxCountDistinctRewrite.parseBool)

