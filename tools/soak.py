@@ -34,7 +34,7 @@ REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 HEAVY = [
     # dedup family
     "q_dedup_exact", "q_dedup_lines", "q_dedup_minhash",
-    "q_dedup_minhash_prod", "q_dedup_ngram",
+    "q_dedup_minhash_prod", "q_dedup_minhash_prod_raw", "q_dedup_ngram",
     "q_dedup_simhash", "q_dedup_components", "q_dedup_cosine",
     "q_dedup_cosine_ivf", "q_contamination", "q_dedup_substring",
     # similarity search
@@ -63,6 +63,11 @@ def run_sf(sf_dir, entries, out_dir):
     env = dict(os.environ, SPARK_GRAFT_SF_DIR=sf_dir,
                SPARK_GRAFT_ISOLATE_N="0",
                SPARK_GRAFT_BENCH_OUT=bench_out)
+    # Soak corpora are 10-30x the driver SF; the default 8g heap is what
+    # killed the r11 sf10d run mid-sweep ("stopped SparkContext" = local-
+    # mode OOM) and stalls allocation at sf30d. Respect an explicit
+    # caller setting, otherwise give soak benches a corpus-scale heap.
+    env.setdefault("SPARK_DRIVER_MEM", "48g")
     rc = subprocess.run(
         ["sbt", "-batch", "runMain graft.Bench " + " ".join(entries)],
         env=env, cwd=REPO, stdout=open(f"{out_dir}/sbt_{tag(sf_dir)}.log", "w"),
