@@ -67,17 +67,27 @@ object Tables {
     * a plain aggregate over a small scan doesn't need the shuffle.
     *
     * Size-gated on the REAL on-disk bytes of the source leaves, not the
-    * CBO estimate: below ~4 MB (Spark's own openCostInBytes scale) the
-    * exchange cannot pay for itself — especially under the LSH kernels'
-    * recompute-over-cache design, where the source subtree (and thus the
-    * exchange) re-executes several times per query — so tiny relations
-    * pass through untouched. The r9 soak showed why the estimate is the
-    * wrong gate input: `optimizedPlan.stats.sizeInBytes` is scaled by
-    * column pruning and CBO guesses, and the q8 index build at sf1 sat
-    * UNDER the old 4 MB estimate gate while its one-row-group file sat
-    * well over it — the heavy fused quantization stage ran on one core
-    * (inverted scaling, caught by the curve). FileIndex sizes and footer
-    * row-group counts are facts, not estimates. */
+    * CBO estimate. The r9 soak showed why the estimate is the wrong gate
+    * input: `optimizedPlan.stats.sizeInBytes` is scaled by column pruning
+    * and CBO guesses, and the q8 index build at sf1 sat UNDER the old
+    * estimate gate while its one-row-group file sat well over it — the
+    * heavy fused quantization stage ran on one core (inverted scaling,
+    * caught by the curve). FileIndex sizes and footer row-group counts
+    * are facts, not estimates.
+    *
+    * Gate level (r12): 256 KB, down from the r9 4 MB. The floor's callers
+    * wrap COMPUTE-HEAVY projections by contract (md5 cascades, shingle
+    * explodes, regex stats — per-row work orders of magnitude above scan
+    * cost), so the exchange pays for itself far below 4 MB: shuffling a
+    * few hundred KB costs ~one stage boundary, while leaving the fused
+    * stage on one core costs the whole cluster. Measured at the r12 bench
+    * (sf0.1 documents = 584 KB, one row group): every dedup/text entry's
+    * multi-second stage ran 1-task under the 4 MB gate — q_text_stats
+    * 2×1.1s, minhash signatures 2×1.7s single-task — and distributes
+    * 32-wide with the floor active. Below ~256 KB the relation is
+    * genuinely trivial (the whole file fits in one task's first read
+    * buffer) and the stage boundary is pure tax, also at any real scale.
+    * `SPARK_GRAFT_PAR_FLOOR_BYTES` overrides for deployment tuning. */
   def parallelized(df: DataFrame): DataFrame = {
     val spark = df.sparkSession
     val cores = spark.sparkContext.defaultParallelism
@@ -96,8 +106,13 @@ object Tables {
     if (working >= need) return df
     // floor, never a ceiling: repartition(cores) would cut a
     // 48-working-split scan to 32 tasks on 32 cores
-    if (leafBytes(df) >= 4L * 1024 * 1024) df.repartition(math.max(cores, parts)) else df
+    if (leafBytes(df) >= parFloorBytes) df.repartition(math.max(cores, parts)) else df
   }
+
+  /** Minimum source bytes before the parallelism floor inserts its
+    * exchange (see [[parallelized]]'s gate-level doc). */
+  private[graft] lazy val parFloorBytes: Long =
+    sys.env.get("SPARK_GRAFT_PAR_FLOOR_BYTES").map(_.toLong).getOrElse(256L * 1024)
 
   // Footer reads are pure metadata (file immutable within a run); cache by
   // path so each file pays one footer read per JVM.

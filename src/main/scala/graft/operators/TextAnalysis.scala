@@ -139,6 +139,18 @@ object TextAnalysis {
   def hammingHalves(hiA: Column, loA: Column, hiB: Column, loB: Column): Column =
     bit_count(hiA.bitwiseXOR(hiB)) + bit_count(loA.bitwiseXOR(loB))
 
+  /** The full 64-bit fingerprint packed into ONE signed long —
+    * `(hi << 32) | lo` over [[hexHalves]] — a bijection of the 16-hex-char
+    * form (the sign bit is just bit 63). Pair hamming collapses to a
+    * single xor+popcount (`bit_count(a ^ b)` ≡ [[hammingHalves]], the
+    * halves being disjoint bit ranges), and the slim long replaces the
+    * 16-char string on every banding shuffle and join key. Convert once
+    * per side, compare in one instruction per pair. */
+  def hexPacked(h: Column): Column = {
+    val (hi, lo) = hexHalves(h)
+    shiftleft(hi, 32).bitwiseOR(lo)
+  }
+
   /** Scrub URLs and email addresses from text (the standard PII/dedup
     * normalization pass before training). Patterns are deliberately
     * conservative — valid and identically interpreted under both Java

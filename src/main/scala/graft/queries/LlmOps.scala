@@ -1153,8 +1153,17 @@ object LlmOps {
     // materialize once, before the chain fans out over it; re-persist when
     // Bench's between-entry clearCache dropped the resident copy
     if (survivors.storageLevel == StorageLevel.NONE) { survivors.persist(); survivors.count() }
+    // Parallelism floor over the CACHED boundary (r12): AQE coalesces the
+    // survivor join to very few partitions at small scale, and the cache
+    // stores exactly those — so the whole downstream minhash chain (the
+    // entry's dominant cost: shingle explode + 16 md5-min aggregates)
+    // inherited near-serial width. parallelized() reads the materialized
+    // InMemoryRelation's real partition count and size, so at production
+    // scale (cached partitions ≥ cores) it is a no-op, exactly like the
+    // parquet case.
+    val wide = Tables.parallelized(survivors)
     // near-dup dedup: keep only cluster representatives
-    val clusters = Dedup.minhashClustersPortable(survivors, "clean", "doc_id")
+    val clusters = Dedup.minhashClustersPortable(wide, "clean", "doc_id")
     val reps = clusters.filter(!col("is_dup"))
     Dedup.splitByCluster(reps) // rep_id == doc_id for representatives
       .join(survivors.select(col("doc_id"), col("clean")), Seq("doc_id"))
