@@ -75,20 +75,30 @@ object Tables {
     * caught by the curve). FileIndex sizes and footer row-group counts
     * are facts, not estimates.
     *
-    * Gate level (r12): 256 KB, down from the r9 4 MB. The floor's callers
-    * wrap COMPUTE-HEAVY projections by contract (md5 cascades, shingle
-    * explodes, regex stats — per-row work orders of magnitude above scan
-    * cost), so the exchange pays for itself far below 4 MB: shuffling a
-    * few hundred KB costs ~one stage boundary, while leaving the fused
-    * stage on one core costs the whole cluster. Measured at the r12 bench
-    * (sf0.1 documents = 584 KB, one row group): every dedup/text entry's
-    * multi-second stage ran 1-task under the 4 MB gate — q_text_stats
-    * 2×1.1s, minhash signatures 2×1.7s single-task — and distributes
-    * 32-wide with the floor active. Below ~256 KB the relation is
-    * genuinely trivial (the whole file fits in one task's first read
-    * buffer) and the stage boundary is pure tax, also at any real scale.
-    * `SPARK_GRAFT_PAR_FLOOR_BYTES` overrides for deployment tuning. */
-  def parallelized(df: DataFrame): DataFrame = {
+    * Gate level (r12): TWO floors, by the caller's per-row cost.
+    * [[parallelizedHeavy]] gates at 256 KB for stages whose fused
+    * per-row work is orders of magnitude above scan cost (md5 cascades,
+    * shingle explodes, regex stats): there a few-hundred-KB round-robin
+    * exchange pays for itself immediately — measured at the r12 bench
+    * (sf0.1 documents = 584 KB, one row group), q_text_stats's regex
+    * stage ran 2×1.1 s single-task under the old uniform 4 MB gate and
+    * 0.6 s total with the low floor. The plain [[parallelized]] keeps
+    * the r9 4 MB gate for everything else: the SAME r12 sweep measured
+    * the low floor as a pure tax on light projections (one extra
+    * exchange + stage per kernel re-execution — q_sim_search_lsh 0.65 →
+    * 1.43 s, vocab/sample/mix entries all regressed), because a filter
+    * or bucket-assignment pass costs no more than the shuffle itself.
+    * Both floors are env-overridable (`SPARK_GRAFT_PAR_FLOOR_BYTES`,
+    * `SPARK_GRAFT_PAR_FLOOR_HEAVY_BYTES`) for deployment tuning. */
+  def parallelized(df: DataFrame): DataFrame =
+    parallelizedImpl(df, parFloorBytes)
+
+  /** [[parallelized]] with the low byte gate — for callers fusing
+    * compute-heavy per-row work onto the scan (see gate-level doc). */
+  def parallelizedHeavy(df: DataFrame): DataFrame =
+    parallelizedImpl(df, parFloorHeavyBytes)
+
+  private def parallelizedImpl(df: DataFrame, floorBytes: Long): DataFrame = {
     val spark = df.sparkSession
     val cores = spark.sparkContext.defaultParallelism
     val parts = df.rdd.getNumPartitions
@@ -106,13 +116,17 @@ object Tables {
     if (working >= need) return df
     // floor, never a ceiling: repartition(cores) would cut a
     // 48-working-split scan to 32 tasks on 32 cores
-    if (leafBytes(df) >= parFloorBytes) df.repartition(math.max(cores, parts)) else df
+    if (leafBytes(df) >= floorBytes) df.repartition(math.max(cores, parts)) else df
   }
 
   /** Minimum source bytes before the parallelism floor inserts its
     * exchange (see [[parallelized]]'s gate-level doc). */
   private[graft] lazy val parFloorBytes: Long =
-    sys.env.get("SPARK_GRAFT_PAR_FLOOR_BYTES").map(_.toLong).getOrElse(256L * 1024)
+    sys.env.get("SPARK_GRAFT_PAR_FLOOR_BYTES").map(_.toLong).getOrElse(4L * 1024 * 1024)
+
+  /** The low gate for compute-heavy fused stages ([[parallelizedHeavy]]). */
+  private[graft] lazy val parFloorHeavyBytes: Long =
+    sys.env.get("SPARK_GRAFT_PAR_FLOOR_HEAVY_BYTES").map(_.toLong).getOrElse(256L * 1024)
 
   // Footer reads are pure metadata (file immutable within a run); cache by
   // path so each file pays one footer read per JVM.

@@ -50,16 +50,21 @@ object Retrieval {
     val spark = docs.sparkSession
     import spark.implicits._
 
-    // one tokenizing projection: token array + dl, no shuffle
-    val toks = docs.select(
-        col(idCol).as("doc_id"),
-        filter(split(lower(col(textCol)), TOKEN_SPLIT), t => length(t) > 0).as("toks"))
-      .withColumn("dl", size(col("toks")))
+    // Per-doc length WITHOUT materializing the token array (r12): dl is
+    // the number of maximal token runs, i.e. one codegen'd regexp_count —
+    // identical to len(filter(split(...), length > 0)) by construction
+    // (split's separators are exactly the non-token runs). The old form
+    // built the array through an interpreted higher-order `filter` per
+    // doc; the stats pass below consumed a full tokenize for one integer.
+    val dl = regexp_count(lower(col(textCol)), lit("[a-z0-9']+"))
+    val base = docs.select(col(idCol).as("doc_id"), lower(col(textCol)).as("t"), dl.as("dl"))
 
     // corpus stats: one row. avgdl spelled as exact-sum / count so both
     // engines do ONE correctly-rounded double division of exact integers
     // (a running-mean AVG implementation would not be bit-mirrorable).
-    val stats = toks.agg(
+    // This pass now reads (doc_id, dl) only — one regex count per doc,
+    // no token array.
+    val stats = base.agg(
       count(lit(1)).as("n"),
       (sum(col("dl")).cast("double") / count(lit(1))).as("avgdl"))
 
@@ -82,7 +87,12 @@ object Retrieval {
     // unreleased MEMORY_AND_DISK cache here leaked blocks for the
     // SparkContext lifetime across soak iterations (r10 ADVICE), and the
     // reuse gives the same single-scan property for free.
-    val tf = toks.select(col("doc_id"), col("dl"), explode(col("toks")).as("token"))
+    // empty tokens are dropped AFTER the explode (a codegen'd Filter on
+    // the generated rows) rather than by an interpreted higher-order
+    // array filter before it — same token multiset, no lambda dispatch
+    val tf = base
+      .select(col("doc_id"), col("dl"), explode(split(col("t"), TOKEN_SPLIT)).as("token"))
+      .filter(length(col("token")) > 0)
       .join(broadcast(terms), Seq("token"))
       .groupBy(col("token"), col("doc_id"), col("dl"))
       .agg(count(lit(1)).as("tf"))

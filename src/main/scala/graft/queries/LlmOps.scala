@@ -32,7 +32,7 @@ object LlmOps {
     * rows-only. The xxhash64 production family (slimmer shuffles, same
     * algorithm) stays covered by LlmOpsSpec. Always |docs| rows. */
   def qDedupMinhash(spark: SparkSession, dir: String): DataFrame = {
-    val docs = Tables.parallelized(Tables.load(spark, dir, "documents"))
+    val docs = Tables.parallelizedHeavy(Tables.load(spark, dir, "documents"))
     Dedup.minhashClustersPortable(docs, "text", "doc_id").orderBy(col("doc_id"))
   }
 
@@ -154,7 +154,7 @@ object LlmOps {
     // SFs where agreement is re-verified (families_agree TRUE at sf0.1,
     // r12 run). The full-corpus production kernel stays benched and
     // certified via [[qDedupMinhashProdRaw]].
-    val docs = Tables.parallelized(
+    val docs = Tables.parallelizedHeavy(
       Tables.load(spark, dir, "documents").filter(col("doc_id") < 500))
     val prod = Dedup.minhashClusters(docs, "text", "doc_id")
     val port = Dedup.minhashClustersPortable(docs, "text", "doc_id")
@@ -191,7 +191,7 @@ object LlmOps {
     * grid oracle's rows_match proves no doc was lost or duplicated;
     * cluster-content CORRECTNESS is the bounded gate twin's job. */
   def qDedupMinhashProdRaw(spark: SparkSession, dir: String): DataFrame = {
-    val docs = Tables.parallelized(Tables.load(spark, dir, "documents"))
+    val docs = Tables.parallelizedHeavy(Tables.load(spark, dir, "documents"))
     Dedup.minhashClusters(docs, "text", "doc_id")
       .withColumn("ok",
         col("rep_id") >= 0 && col("rep_id") <= col("doc_id") &&
@@ -220,7 +220,7 @@ object LlmOps {
     * Integer set sizes divide exactly in IEEE doubles → bit-matches
     * DuckDB. */
   def qDedupNgram(spark: SparkSession, dir: String): DataFrame = {
-    val docs = Tables.parallelized(Tables.load(spark, dir, "documents"))
+    val docs = Tables.parallelizedHeavy(Tables.load(spark, dir, "documents"))
     // the inverted-index form: identical output to the all-pairs kernel
     // (LlmOpsSpec proves it), but a codegen'd shuffle-by-gram join
     // instead of per-pair array intersections
@@ -343,7 +343,7 @@ object LlmOps {
   /** Text analysis: token counts, ratios, quality, language-ID — mirrored
     * in DuckDB with equivalent regex/list SQL. */
   def qTextStats(spark: SparkSession, dir: String): DataFrame = {
-    val docs = Tables.parallelized(Tables.load(spark, dir, "documents"))
+    val docs = Tables.parallelizedHeavy(Tables.load(spark, dir, "documents"))
     val t = col("text")
     docs.select(
         col("doc_id"),
@@ -689,7 +689,7 @@ object LlmOps {
     * fnv/xxhash production forms (one codegen'd long per doc, no hex
     * strings) stay covered by FnvHashSpec + LlmOpsSpec. */
   def qTextFingerprints(spark: SparkSession, dir: String): DataFrame = {
-    val docs = Tables.parallelized(Tables.load(spark, dir, "documents"))
+    val docs = Tables.parallelizedHeavy(Tables.load(spark, dir, "documents"))
     docs.select(
         col("doc_id"),
         TextAnalysis.fingerprintHex(col("text")).as("fp_hex"))
@@ -755,7 +755,7 @@ object LlmOps {
     * oracle scale): it verifies the engine's banding+cap candidate
     * generation against ground truth rather than mirroring it. */
   def qDedupSimhash(spark: SparkSession, dir: String): DataFrame = {
-    val docs = Tables.parallelized(Tables.load(spark, dir, "documents"))
+    val docs = Tables.parallelizedHeavy(Tables.load(spark, dir, "documents"))
     val corpus = docs.select(col("doc_id"), col("text"))
       .unionByName(docs.filter(col("doc_id") % 11 === 0)
         .select((col("doc_id") + 1000000).as("doc_id"), col("text")))
@@ -891,7 +891,7 @@ object LlmOps {
     * which grew the broadcast with SF and read as α 1.14 on the soak —
     * an artifact of the entry, not the kernel). */
   def qContamination(spark: SparkSession, dir: String): DataFrame = {
-    val docs = Tables.parallelized(Tables.load(spark, dir, "documents"))
+    val docs = Tables.parallelizedHeavy(Tables.load(spark, dir, "documents"))
     val bench = docs.filter(col("doc_id") < 150)
     Dedup.ngramContamination(docs, bench, "text", "doc_id", n = 5)
       .orderBy(col("doc_id"))
@@ -931,7 +931,7 @@ object LlmOps {
     * copy-weighted corpus-wide occurrence counts, gaps-and-islands span
     * merge. */
   def qDedupSubstring(spark: SparkSession, dir: String): DataFrame = {
-    val docs = Tables.parallelized(Tables.load(spark, dir, "documents"))
+    val docs = Tables.parallelizedHeavy(Tables.load(spark, dir, "documents"))
     Dedup.exactSubstringSpans(docs, "text", "doc_id", k = 5)
       .orderBy(col("doc_id"))
   }
@@ -1067,7 +1067,7 @@ object LlmOps {
     // evicted on access so dead sessions don't pin persisted bookkeeping.
     clusterCache.filterInPlace((k, _) => !k._1.sparkContext.isStopped)
     val c = clusterCache.getOrElseUpdate((spark, dir), {
-      val docs = Tables.parallelized(Tables.load(spark, dir, "documents"))
+      val docs = Tables.parallelizedHeavy(Tables.load(spark, dir, "documents"))
       Dedup.minhashClustersPortable(docs, "text", "doc_id")
     })
     // (Re)materialize when not resident: Bench's between-entry
@@ -1137,7 +1137,7 @@ object LlmOps {
     // to the caller.
     pipelineCache.filterInPlace((k, _) => !k._1.sparkContext.isStopped)
     val survivors = pipelineCache.getOrElseUpdate((spark, dir), {
-      val docs = Tables.parallelized(Tables.load(spark, dir, "documents"))
+      val docs = Tables.parallelizedHeavy(Tables.load(spark, dir, "documents"))
       val dirty = concat(col("text"),
         lit(" contact admin@mail.example.com or see https://ex.example/home"))
       val cleaned = docs.select(col("doc_id"), col("lang"),
@@ -1161,7 +1161,7 @@ object LlmOps {
     // InMemoryRelation's real partition count and size, so at production
     // scale (cached partitions ≥ cores) it is a no-op, exactly like the
     // parquet case.
-    val wide = Tables.parallelized(survivors)
+    val wide = Tables.parallelizedHeavy(survivors)
     // near-dup dedup: keep only cluster representatives
     val clusters = Dedup.minhashClustersPortable(wide, "clean", "doc_id")
     val reps = clusters.filter(!col("is_dup"))
@@ -1235,7 +1235,7 @@ object LlmOps {
     // take their edges from LSH candidates (minhashClusters), not from
     // exact all-pairs jaccard; this entry oracle-checks the components
     // kernel itself over an exactly-reproducible edge set.
-    val docs = Tables.parallelized(
+    val docs = Tables.parallelizedHeavy(
       Tables.load(spark, dir, "documents")
         .filter(col("doc_id") % 10 === 0 && col("doc_id") < 50000))
     // the star-edge form: identical labels to components over the
@@ -1415,7 +1415,7 @@ object LlmOps {
     * determinism argument stays locally tested. */
   def qBm25TopK(spark: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val docs = Tables.parallelized(Tables.load(spark, dir, "documents"))
+    val docs = Tables.parallelizedHeavy(Tables.load(spark, dir, "documents"))
     val scored =
       graft.operators.Retrieval.bm25TopK(docs, "text", "doc_id", bm25Queries, 10)
     // certification windows run over nQueries*k = 50 rows — negligible
@@ -1446,7 +1446,7 @@ object LlmOps {
     * identical to [[qBm25TopK]]'s emitted grid. Not in the driver gate
     * (see [[qBm25TopK]] for why the decimal left the hashed output). */
   def qBm25TopKScored(spark: SparkSession, dir: String): DataFrame = {
-    val docs = Tables.parallelized(Tables.load(spark, dir, "documents"))
+    val docs = Tables.parallelizedHeavy(Tables.load(spark, dir, "documents"))
     graft.operators.Retrieval.bm25TopK(docs, "text", "doc_id", bm25Queries, 10)
       .orderBy(col("query_id"), col("rank"))
   }

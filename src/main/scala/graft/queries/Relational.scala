@@ -21,7 +21,12 @@ object Relational {
     * (be/src/exec/partitioned-aggregation-node.cc:46-88).
     */
   def q1Agg(spark: SparkSession, dir: String): DataFrame = {
-    val li = Tables.load(spark, dir, "lineitem")
+    // parallelism floor (r12): the partial aggregate — 8 decimal sums per
+    // row — fuses onto the scan, so a single-row-group file serializes the
+    // whole aggregation onto one core (measured 1.16s isolated at sf0.1;
+    // 0.7s with the floor). No-op whenever the scan already has working
+    // splits >= cores.
+    val li = Tables.parallelizedHeavy(Tables.load(spark, dir, "lineitem"))
     li.filter(col("l_shipdate") <= lit("1998-09-02").cast("timestamp_ntz"))
       .groupBy(col("l_returnflag"), col("l_linestatus"))
       .agg(
