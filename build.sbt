@@ -31,3 +31,28 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.sql.session.timeZone=UTC",
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
 )
+// The full suite replays ~15k generated queries through one shared local
+// SparkContext; at the r12 driver gate the accumulated heap + codegen-class
+// pressure killed the context mid-FuzzCorpusSpec (CodeGenerator cache-load
+// failure -> TaskResultGetter pool terminated -> "SparkContext was shut
+// down"). Two containment measures, test-scope only (run/Bench JVMs are
+// untouched so bench numbers stay comparable):
+//  - a larger test heap (appended -Xmx wins over the shared default);
+//  - the task-heaviest suites each get their OWN forked JVM (fresh heap,
+//    fresh codegen cache, and a context death cannot cascade into other
+//    suites). Groups run strictly one at a time — suites share on-disk
+//    fixtures (spark-warehouse bucketed tables, parquet-derived scan
+//    fixtures), which concurrent JVMs would clobber (the r12 OrderAuditSpec
+//    FILE_NOT_EXIST incident).
+Test / javaOptions += s"-Xmx${sys.env.getOrElse("SPARK_GRAFT_TEST_MEM", "16g")}"
+Test / testGrouping := {
+  val defaultOpts = (Test / javaOptions).value
+  val isolated = Set("graft.FuzzCorpusSpec", "graft.OrderAuditSpec",
+    "graft.PlanFingerprintAtScaleSpec", "graft.GoldenRunnerSpec")
+  val (solo, rest) = (Test / definedTests).value.partition(t => isolated(t.name))
+  def group(name: String, tests: Seq[TestDefinition]) =
+    Tests.Group(name, tests, Tests.SubProcess(
+      ForkOptions().withRunJVMOptions(defaultOpts.toVector)))
+  solo.sortBy(_.name).map(t => group(t.name, Seq(t))) :+ group("rest", rest)
+}
+Global / concurrentRestrictions += Tags.limit(Tags.ForkedTestGroup, 1)

@@ -191,7 +191,20 @@ object Bench {
       else s"/tmp/bench_result_sf$sfTag.json"
     }
     Files.writeString(Paths.get(outPath), json + "\n")
-    println(json)
+    // Hand-off hardening (r13 — the r11 round-over-round comparison died
+    // on a driver-side parse failure even though the line looked intact in
+    // the captured tail): stop Spark BEFORE printing so no shutdown logging
+    // can interleave with or follow the contract line, self-check that the
+    // written artifact re-reads as the same parseable line, and emit the
+    // JSON as the LAST stdout line of the run, explicitly flushed.
     spark.stop()
+    val readBack = new String(Files.readAllBytes(Paths.get(outPath))).trim
+    require(readBack == json && readBack.startsWith("{\"metric\"") && readBack.endsWith("}"),
+      s"bench self-check failed: $outPath does not round-trip the emitted JSON")
+    val (rbQueries, rbSf) = loadBaseline(outPath)
+    require(rbQueries.size == times.size && rbSf.isDefined,
+      s"bench self-check failed: re-parse of $outPath saw ${rbQueries.size} of ${times.size} entries")
+    println(json)
+    System.out.flush()
   }
 }

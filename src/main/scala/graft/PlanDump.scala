@@ -40,8 +40,13 @@ object PlanDump {
         val ms = (for {
           a <- info.completionTime; b <- info.submissionTime
         } yield a - b).getOrElse(-1L)
+        // RDD operation scopes name the SQL operators the stage executes
+        // (WholeStageCodegen ids match the *(n) prefixes in explain output)
+        // — the callsite alone is always the action's lambda, useless for
+        // attribution.
+        val scopes = info.rddInfos.flatMap(_.scope).map(_.name).distinct.mkString(" | ")
         stageLines.add(
-          f"  stage ${info.stageId}%4d ${info.numTasks}%5d tasks ${ms}%6d ms  ${info.name.takeWhile(_ != '\n')}")
+          f"  stage ${info.stageId}%4d ${info.numTasks}%5d tasks ${ms}%6d ms  $scopes")
       }
     }
     if (profile) spark.sparkContext.addSparkListener(listener)
@@ -64,8 +69,17 @@ object PlanDump {
             fn(spark, sfDir).write.format("noop").mode("overwrite").save()
             val sec = (System.nanoTime() - t0) / 1e9
             spark.sparkContext.setJobDescription(null)
-            // listener events drain asynchronously; give them a beat
-            Thread.sleep(300)
+            // listener events drain asynchronously; poll until the counts
+            // are stable twice in a row (a fixed 300 ms undercounted on a
+            // loaded machine — r12 ADVICE) with a hard 5 s ceiling
+            var snap = (-1, -1, -1)
+            var stable = 0
+            var waited = 0
+            while (stable < 2 && waited < 5000) {
+              Thread.sleep(100); waited += 100
+              val now = (jobs.get, stages.get, tasks.get)
+              if (now == snap) stable += 1 else { stable = 0; snap = now }
+            }
             println(f"PROFILE $name%-28s $sec%7.3f s  jobs=${jobs.get}%3d stages=${stages.get}%3d tasks=${tasks.get}%5d")
             import scala.jdk.CollectionConverters._
             stageLines.asScala.toSeq.sorted.foreach(println)

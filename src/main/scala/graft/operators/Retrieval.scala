@@ -97,7 +97,23 @@ object Retrieval {
       .groupBy(col("token"), col("doc_id"), col("dl"))
       .agg(count(lit(1)).as("tf"))
 
-    val dfs = tf.groupBy(col("token")).agg(count(lit(1)).as("df"))
+    // sum(least(tf, 1)), not count(*): the VALUE is identical — tf >= 1 on
+    // every grouped row, so least(tf, 1) is the constant 1 and the sum is
+    // the row count — but the tf reference keeps this branch's subtree
+    // below the tf exchange byte-identical to the scoring branch's, so
+    // ReuseExchange computes the corpus scan + tokenize + explode ONCE.
+    // With count(*) (or even count(tf), which Catalyst rewrites to
+    // count(1) on the non-nullable column and then prunes), the partial
+    // aggregate under THIS branch loses tf's count function, the two
+    // exchanges stop being canonically equal, and the full corpus pass
+    // silently runs twice — the r13 profile caught it as a second
+    // 0.9-1.0 s 32-task stage at sf0.1 behind a plan note claiming one
+    // pass. The optimizer cannot fold least(tf, 1) (it cannot prove
+    // tf >= 1), which is exactly what keeps the subtrees shared; the
+    // ReusedExchange is asserted by RetrievalSpec so a future optimizer
+    // change cannot silently cost a corpus pass again.
+    val dfs = tf.groupBy(col("token"))
+      .agg(sum(least(col("tf"), lit(1L))).as("df"))
 
     val scored = tf
       .join(broadcast(dfs), Seq("token"))
